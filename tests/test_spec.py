@@ -1,0 +1,214 @@
+"""Unit tests of the pure-Python spec (SURVEY.md §5.2 item 1) — no Spark."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mias_spec import codec, constants, corpus, mathml, oracle, queries, scoring
+from mias_spec.analyzer import tokenize
+from mias_spec.document import content_sha256, doc_key, tokenize_document
+
+
+# ------------------------------------------------------------------ analyzer
+
+def test_analyzer_basic():
+    assert tokenize("The Quick, brown_fox! 42") == ["quick", "brown_fox", "42"]
+
+
+def test_analyzer_stopwords_and_len():
+    assert tokenize("a an and the it") == []
+    assert tokenize("x" * 100) == []
+
+
+# -------------------------------------------------------------------- mathml
+
+EXACT = corpus.render_math(corpus.EXACT_AST)
+
+
+def _root(xml):
+    els = mathml.extract_math_elements(xml)
+    assert els
+    return els[0]
+
+
+def test_branch_select_both():
+    el = _root(EXACT)
+    p = mathml.select_branch(el, "P")
+    c = mathml.select_branch(el, "C")
+    assert p is not None and c is not None
+    assert mathml.serialize(mathml.canonicalize(p)) == \
+        "r(i:E,o:=,r(i:m,o:\u2062,sup(i:c,n:2)))"
+    assert mathml.serialize(mathml.canonicalize(c)).startswith("a(eq,")
+
+
+def test_canonicalize_idempotent():
+    el = _root(EXACT)
+    n = mathml.select_branch(el, "P")
+    c1 = mathml.canonicalize(n)
+    assert mathml.canonicalize(c1) == c1
+
+
+def test_commutative_ordering():
+    ab = corpus.render_math(("+", ("var", "a"), ("var", "b")))
+    ba = corpus.render_math(("+", ("var", "b"), ("var", "a")))
+    ta = mathml.serialize(mathml.canonicalize(mathml.select_branch(_root(ab), "P")))
+    tb = mathml.serialize(mathml.canonicalize(mathml.select_branch(_root(ba), "P")))
+    assert ta == tb
+    # non-commutative must NOT be reordered
+    amb = corpus.render_math(("-", ("var", "a"), ("var", "b")))
+    bma = corpus.render_math(("-", ("var", "b"), ("var", "a")))
+    sa = mathml.serialize(mathml.canonicalize(mathml.select_branch(_root(amb), "P")))
+    sb = mathml.serialize(mathml.canonicalize(mathml.select_branch(_root(bma), "P")))
+    assert sa != sb
+
+
+def test_subformula_weights_and_unification():
+    el = _root(EXACT)
+    terms = mathml.formula_mterms(mathml.select_branch(el, "P"))
+    by_term = {t: w for t, w, _ in terms}
+    # whole formula weight 1.0; var-unified variant 0.8
+    assert by_term["r(i:E,o:=,r(i:m,o:\u2062,sup(i:c,n:2)))"] == pytest.approx(1.0)
+    assert by_term["r(i:§v,o:=,r(i:§v,o:\u2062,sup(i:§v,n:2)))"] == pytest.approx(
+        constants.W_VAR_UNIFIED)
+    # depth-1 subformula (m·c^2) weight 0.7
+    assert by_term["r(i:m,o:\u2062,sup(i:c,n:2))"] == pytest.approx(constants.W_LEVEL)
+    # depth-2 leaf E... E is depth 1: weight 0.7; c^2 depth 2: 0.49
+    assert by_term["sup(i:c,n:2)"] == pytest.approx(constants.W_LEVEL ** 2)
+    # const-unified of whole formula: 0.5
+    assert by_term["r(i:E,o:=,r(i:m,o:\u2062,sup(i:c,n:§c)))"] == pytest.approx(
+        constants.W_CONST_UNIFIED)
+    # variants share base position
+    pos = {p for t, w, p in terms if "sup(i:c" in t and t.startswith("sup")}
+    assert len(pos) == 1
+
+
+def test_query_reduce_weighting():
+    el = _root(EXACT)
+    plain = dict((t, w) for t, w, _ in mathml.formula_mterms(
+        mathml.select_branch(el, "P"), reduce_weighting=False))
+    red = dict((t, w) for t, w, _ in mathml.formula_mterms(
+        mathml.select_branch(el, "P"), reduce_weighting=True))
+    uni = "r(i:§v,o:=,r(i:§v,o:\u2062,sup(i:§v,n:2)))"
+    base = "r(i:E,o:=,r(i:m,o:\u2062,sup(i:c,n:2)))"
+    assert red[uni] == pytest.approx(plain[uni] * constants.W_QUERY_REDUCE)
+    assert red[base] == plain[base]
+
+
+# --------------------------------------------------------------------- codec
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (codec.decode_varints(codec.encode_varints(arr), len(arr)) == arr).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                max_size=200, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_docid_roundtrip(vals):
+    arr = np.array(sorted(vals), dtype=np.int64)
+    assert (codec.decode_doc_ids(codec.encode_doc_ids(arr), len(arr)) == arr).all()
+
+
+def test_weight_quantization():
+    assert codec.quantize_weight(1.0) == 1.0
+    w = codec.quantize_weight(0.7)
+    assert abs(w - 0.7) < 1e-3
+    arr = np.array([0.7, 0.49, 10.0], dtype=np.float64)
+    q = codec.quantize_weights(arr)
+    assert (codec.decode_f16(codec.encode_f16(q)) == q.astype(np.float32)).all()
+
+
+# -------------------------------------------------------------------- corpus
+
+def test_corpus_deterministic():
+    a = corpus.make_corpus(100)
+    b = corpus.make_corpus(100)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.lang) == {"xhtml", "markdown", "python"}
+
+
+def test_doc_tokenize_fields():
+    c = corpus.make_corpus(10)
+    row = c[c.lang == "xhtml"].iloc[0]
+    d = tokenize_document(row.content, row.lang)
+    fields = {f for f, *_ in d.tokens}
+    assert fields == {"content", "title", "pmath", "cmath"}
+    tw = {w for f, t, p, w in d.tokens if f == "title"}
+    assert tw == {10.0}
+    py = c[c.lang == "python"].iloc[0]
+    dpy = tokenize_document(py.content, py.lang)
+    assert {f for f, *_ in dpy.tokens} == {"content"}
+
+
+def test_doc_key_stable():
+    assert doc_key("r", "p", "c") == doc_key("r", "p", "c")
+    assert content_sha256("x") != content_sha256("y")
+
+
+# -------------------------------------------------------------------- oracle
+
+@pytest.fixture(scope="module")
+def tiny_index():
+    c = corpus.make_corpus(300)
+    return c, oracle.build_index(c)
+
+
+def test_ranking_contract(tiny_index):
+    """exact > fuzzy > background — the reference fixture contract
+    (/root/reference/test/{exact,fuzzy,no}-match.xhtml)."""
+    import re
+    c, idx = tiny_index
+    d2i = {r.doc_id: int(re.search(r"doc_(\d+)", r.path).group(1))
+           for r in idx.docs.itertuples()}
+    exact_docs = {i for i in range(300) if i % 37 == 0 and i % 10 < 5}
+    fuzzy_docs = {i for i in range(300) if i % 37 == 1 and i % 10 < 5}
+    r = oracle.search(idx, corpus.render_math(corpus.EXACT_AST), "BOTH", 20)
+    fam = ["E" if d2i[d] in exact_docs else "F" if d2i[d] in fuzzy_docs
+           else "." for d in r.doc_id]
+    n_e, n_f = len(exact_docs), len(fuzzy_docs)
+    assert fam[:n_e] == ["E"] * n_e          # all exact docs first
+    assert fam[n_e:n_e + n_f] == ["F"] * n_f  # then all fuzzy docs
+
+
+def test_fuzzy_query_only_unified(tiny_index):
+    c, idx = tiny_index
+    from mias_spec.queries import FUZZY_QUERY_AST
+    r = oracle.search(idx, corpus.render_math(FUZZY_QUERY_AST), "BOTH", 8)
+    assert len(r) == 8  # unification reaches same-shape docs
+
+
+def test_empty_and_paging(tiny_index):
+    c, idx = tiny_index
+    assert len(oracle.search(idx, "zzznothing")) == 0
+    full = oracle.search(idx, "energy", k=20)
+    page = oracle.search(idx, "energy", k=10, offset=10)
+    pd.testing.assert_frame_equal(
+        full.iloc[10:20].reset_index(drop=True), page.reset_index(drop=True))
+
+
+def test_must_semantics(tiny_index):
+    c, idx = tiny_index
+    both = oracle.search(idx, "electron quantum", k=1000)
+    e = oracle.search(idx, "electron", k=1000)
+    q = oracle.search(idx, "quantum", k=1000)
+    assert set(both.doc_id) == set(e.doc_id) & set(q.doc_id)
+
+
+def test_norms_count_overlapping_variants(tiny_index):
+    """dl counts every emitted unified variant (Indexing.java:80)."""
+    c, idx = tiny_index
+    row = c[c.lang == "xhtml"].iloc[0]
+    d = tokenize_document(row.content, row.lang)
+    n_pmath = sum(1 for f, *_ in d.tokens if f == "pmath")
+    n_pos = len({p for f, t, p, w in d.tokens if f == "pmath"})
+    assert n_pmath > n_pos  # variants overlap positions but all count
+
+
+def test_bm25_reference_value():
+    # frozen spot value so the formula can never silently change
+    assert scoring.bm25(tf=2, df=5, dl=20, n_docs=100, avgdl=25) == \
+        pytest.approx(scoring.idf(100, 5) * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 0.8)))
