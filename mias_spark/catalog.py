@@ -1,0 +1,112 @@
+"""Table + checkpoint layer — Iceberg-shaped, parquet-backed locally.
+
+The engine targets Iceberg tables (BASELINE.json north_rule); the sandbox
+has no Iceberg runtime jar, so this thin layer provides the same
+semantics over partitioned parquet + a manifest JSON:
+
+- atomic-ish overwrite-by-table with a recorded snapshot id
+- per-stage and per-partition-chunk checkpoint rows (resumable builds,
+  the analog of the reference's commit-every-10k-docs,
+  /root/reference/src/main/java/cz/muni/fi/mias/indexing/Indexing.java:139-145)
+- lineage + metrics rows (stage, rows, wall time)
+
+On a real cluster, point ``Catalog`` at an Iceberg catalog and swap
+``write``/``read`` for ``writeTo(...).createOrReplace()`` / ``table()``;
+the build code never touches paths directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    root: str
+
+    # ------------------------------------------------------------ manifest
+    def _mpath(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def manifest(self) -> dict[str, Any]:
+        try:
+            with open(self._mpath()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"tables": {}, "checkpoints": {}, "metrics": [],
+                    "props": {}, "snapshot": 0}
+
+    def _save(self, m: dict[str, Any]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._mpath() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, default=str)
+        os.replace(tmp, self._mpath())  # atomic manifest swap = commit
+
+    # -------------------------------------------------------------- tables
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def commit_table(self, table: str, rows: int | None = None, **extra) -> None:
+        m = self.manifest()
+        m["snapshot"] += 1
+        m["tables"][table] = {"status": "done", "rows": rows,
+                              "snapshot": m["snapshot"], **extra}
+        self._save(m)
+
+    def table_done(self, table: str) -> bool:
+        return self.manifest()["tables"].get(table, {}).get("status") == "done"
+
+    def drop(self, table: str) -> None:
+        import shutil
+        shutil.rmtree(self.path(table), ignore_errors=True)
+        m = self.manifest()
+        m["tables"].pop(table, None)
+        self._save(m)
+
+    # --------------------------------------------------------- checkpoints
+    def checkpoint_done(self, stage: str, part: str) -> bool:
+        return self.manifest()["checkpoints"].get(f"{stage}/{part}", {}) \
+            .get("status") == "done"
+
+    def checkpoint(self, stage: str, part: str, rows: int,
+                   t_start: float, t_end: float) -> None:
+        m = self.manifest()
+        m["checkpoints"][f"{stage}/{part}"] = {
+            "status": "done", "rows": rows,
+            "t_start": t_start, "t_end": t_end,
+        }
+        self._save(m)
+
+    # ------------------------------------------------------------- metrics
+    def metric(self, stage: str, **kv) -> None:
+        m = self.manifest()
+        m["metrics"].append({"stage": stage, "ts": time.time(), **kv})
+        self._save(m)
+
+    def props(self) -> dict[str, Any]:
+        return self.manifest().get("props", {})
+
+    def set_props(self, **kv) -> None:
+        m = self.manifest()
+        m["props"].update(kv)
+        self._save(m)

@@ -1,0 +1,141 @@
+"""Spark engine end-to-end: golden rank identity vs the oracle +
+structural invariants (SURVEY.md §5.2 items 2-3)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mias_spark import blocks as blk
+from mias_spark.search import Engine
+from mias_spec import queries as Q
+from mias_spec import oracle as O
+
+
+# ------------------------------------------------------------ rank identity
+
+@pytest.mark.parametrize("mode", ["df", "blocks"])
+def test_rank_identity_all_queries(spark, tiny_build, mode):
+    """Engine top-k must be rank-identical to the pandas oracle on the
+    full frozen query set; scores within 1e-6 (FIXTURES.md §3)."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    for q in Q.reference_queries():
+        exp = O.search(oidx, q.query_text, q.variant, q.k, q.offset)
+        got = eng.search(q.query_text, q.k, q.offset, q.variant,
+                         mode=mode, with_fields=False).hits
+        assert [int(d) for d in got["doc_id"]] == \
+            [int(d) for d in exp["doc_id"]], f"q{q.query_id} ({mode}) doc order"
+        assert np.allclose(got["score"].astype(float),
+                           exp["score"].astype(float), atol=1e-6), \
+            f"q{q.query_id} ({mode}) scores"
+
+
+# ---------------------------------------------------------------- invariants
+
+def test_content_sha256_invariant(spark, tiny_build):
+    """Per-row content sha256 equality vs the raw corpus (input_hint)."""
+    c, cat, oidx, ix = tiny_build
+    expected = {
+        hashlib.sha256(f"{r.repo}|{r.path}|{r.commit}".encode()).hexdigest():
+        hashlib.sha256(r.content.encode()).hexdigest()
+        for r in c.itertuples()
+    }
+    store = cat.read("doc_store").select("doc_key", "content_sha256").collect()
+    assert len(store) == len(expected)
+    for r in store:
+        assert expected[r["doc_key"]] == r["content_sha256"]
+
+
+def test_doc_ids_dense_and_oracle_aligned(spark, tiny_build):
+    c, cat, oidx, ix = tiny_build
+    ids = sorted(r["doc_id"] for r in
+                 cat.read("doc_store").select("doc_id").collect())
+    assert ids == list(range(len(c)))
+    eng_map = {r["doc_key"]: r["doc_id"] for r in
+               cat.read("doc_store").select("doc_key", "doc_id").collect()}
+    ora_map = dict(zip(oidx.docs["doc_key"], oidx.docs["doc_id"]))
+    assert eng_map == {k: int(v) for k, v in ora_map.items()}
+
+
+def test_postings_match_oracle_counts(spark, tiny_build):
+    c, cat, oidx, ix = tiny_build
+    n = cat.read("postings").count()
+    assert n == len(oidx.postings)
+    # sum(tf) per (doc, field) == doc_norms.dl
+    chk = (cat.read("postings")
+        .groupBy("doc_id", "field").agg(F.sum("tf").alias("s"))
+        .join(cat.read("doc_norms"), ["doc_id", "field"])
+        .where(F.col("s") != F.col("dl")).count())
+    assert chk == 0
+
+
+def test_block_monotonicity_and_coverage(spark, tiny_build):
+    """Doc ids strictly increasing inside each block; blocks cover
+    exactly the exploded postings."""
+    c, cat, oidx, ix = tiny_build
+    rows = spark.read.parquet(cat.path("blocks")).collect()
+    total = 0
+    for r in rows:
+        docs, tfs, dls, ws = blk.unpack_block(r)
+        assert (np.diff(docs) > 0).all()
+        assert r["first_doc"] == docs[0] and r["last_doc"] == docs[-1]
+        assert r["max_score"] >= 0
+        total += len(docs)
+    assert total == len(oidx.postings)
+
+
+def test_resume_from_checkpoint(spark, tiny_build, tmp_path):
+    """Kill-after-partial-build resume: drop one bucket checkpoint +
+    stage outputs; rebuild must reuse finished stages and reproduce an
+    identical index (resume-equivalence, SURVEY.md §5.2)."""
+    from mias_spark.build import build_index
+    from mias_spec import corpus
+    c = corpus.make_corpus(120)
+    ix = str(tmp_path / "ix_resume")
+    cdf = spark.createDataFrame(c)
+    cat = build_index(spark, cdf, ix, n_buckets=4)
+    before = {(r["term_id"], r["salt"], r["block_ord"]):
+              (bytes(r["doc_bytes"]), bytes(r["w_bytes"]))
+              for r in spark.read.parquet(cat.path("blocks")).collect()}
+    # simulate a crash mid-blocks-stage: forget bucket 2 + the table mark
+    m = cat.manifest()
+    del m["checkpoints"]["blocks/bucket=2"]
+    m["tables"].pop("blocks", None)
+    cat._save(m)
+    import shutil
+    shutil.rmtree(cat.path("blocks/bucket=2"), ignore_errors=True)
+    n_tables_before = m["tables"].copy()
+    cat2 = build_index(spark, cdf, ix, n_buckets=4)  # resume
+    after = {(r["term_id"], r["salt"], r["block_ord"]):
+             (bytes(r["doc_bytes"]), bytes(r["w_bytes"]))
+             for r in spark.read.parquet(cat2.path("blocks")).collect()}
+    assert before == after
+    # finished stages were not rebuilt (snapshot ids unchanged)
+    m2 = cat2.manifest()
+    for t in ("doc_store", "tokens", "dictionary", "postings"):
+        assert m2["tables"][t]["snapshot"] == n_tables_before[t]["snapshot"]
+
+
+def test_doc_limit(spark, tmp_path):
+    from mias_spark.build import build_index
+    from mias_spec import corpus
+    c = corpus.make_corpus(50)
+    cat = build_index(spark, spark.createDataFrame(c),
+                      str(tmp_path / "ixlim"), n_buckets=2, doc_limit=10)
+    assert cat.read("doc_store").count() == 10
+
+
+def test_search_result_fields(spark, tiny_build):
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    r = eng.search("energy", k=3)
+    assert {"rank", "doc_id", "score", "id", "repo", "path", "title"} \
+        <= set(r.hits.columns)
+    assert r.processed_query.startswith("g0:content:energy")
+    # arXiv id override: docs with citation meta expose it as `id`
+    ids = cat.read("doc_store").where(F.col("arxiv_id").isNotNull()) \
+        .select("id", "arxiv_id").limit(5).collect()
+    for row in ids:
+        assert row["id"] == row["arxiv_id"]
