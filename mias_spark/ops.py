@@ -1,0 +1,227 @@
+"""Index maintenance verbs — the reference CLI surface
+(-add/-overwrite/-delete/-optimize/-stats/-indocprocess,
+/root/reference/src/main/java/cz/muni/fi/mias/MIaS.java:32-60).
+
+Design: tokenization is the expensive stage (XML + math pipeline), so it
+is strictly incremental — upsert tokenizes ONLY new/changed docs and
+appends to the tokens table. The relational stages downstream (norms,
+df, postings, blocks) are recomputed from live tokens because BM25's
+global statistics (df, N, avgdl) change with every doc added or removed;
+that recompute is pure shuffle work Catalyst handles. Restricting the
+block rebuild to affected term buckets is the planned next optimization.
+
+Doc ids are stable across upsert/delete: existing docs keep their id
+(delta-gap codecs tolerate gaps), replaced docs are tombstoned and new
+versions get fresh ids — the updateDocument delete-then-add semantic
+keyed by doc_key (Indexing.java:145).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mias_spark import blocks as blk
+from mias_spark.catalog import Catalog
+from mias_spark.ids import assign_dense_ids
+from mias_spark.tokenize import extract_meta, tokenize_docs
+from mias_spec.constants import SALT_DF_THRESHOLD, SALT_DOC_RANGE
+
+
+# ------------------------------------------------------------------ rebuild
+
+def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
+    """Recompute norms/stats/dictionary-df/postings/blocks from the live
+    tokens table, preserving existing term_ids (new terms appended)."""
+    toks = cat.read("tokens")
+
+    norms = toks.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
+    cat.write(norms, "doc_norms")
+    stats = (cat.read("doc_norms").groupBy("field")
+             .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+             .collect())
+    cat.set_props(field_stats={
+        r["field"]: {"n_docs": r["n_docs"], "avgdl": r["avgdl"]}
+        for r in stats})
+    cat.commit_table("doc_norms")
+
+    fresh_df = toks.groupBy("field", "term").agg(F.count("*").alias("df"))
+    old = cat.read("dictionary").select("field", "term", "term_id")
+    joined = fresh_df.join(old, ["field", "term"], "left")
+    kept = joined.where(F.col("term_id").isNotNull())
+    new_terms = joined.where(F.col("term_id").isNull()).drop("term_id")
+    next_id = (old.agg(F.max("term_id")).collect()[0][0] or -1) + 1
+    if new_terms.limit(1).count():
+        new_ids = assign_dense_ids(
+            new_terms, ["field", "term"], "term_id",
+            cat.path("_staging_terms_delta"))
+        new_ids = new_ids.withColumn("term_id", F.col("term_id") + next_id)
+        dic = kept.unionByName(new_ids)
+    else:
+        dic = kept
+    dic.write.mode("overwrite").parquet(cat.path("_dictionary_new"))
+    import shutil
+    shutil.rmtree(cat.path("dictionary"), ignore_errors=True)
+    shutil.move(cat.path("_dictionary_new"), cat.path("dictionary"))
+    n_terms = cat.read("dictionary").count()
+    cat.commit_table("dictionary", rows=n_terms)
+
+    n_buckets = cat.props()["n_buckets"]
+    fs = cat.props()["field_stats"]
+    stats_df = spark.createDataFrame(
+        [(f, int(v["n_docs"]), float(v["avgdl"])) for f, v in fs.items()],
+        "field string, n_docs long, avgdl double")
+    posts = (
+        toks.join(cat.read("dictionary"), ["field", "term"])
+        .join(cat.read("doc_norms"), ["doc_id", "field"])
+        .join(F.broadcast(stats_df), "field")
+        .withColumn("idf", F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .select("term_id", "field", "doc_id", "tf", "wsum", "dl", "df",
+                "idf", "avgdl", "positions",
+                F.pmod("term_id", F.lit(n_buckets)).cast("int").alias("bucket"))
+    )
+    (posts.repartition(max(n_buckets, 1), "bucket")
+          .sortWithinPartitions("term_id", "doc_id")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(cat.path("_postings_new")))
+    shutil.rmtree(cat.path("postings"), ignore_errors=True)
+    shutil.move(cat.path("_postings_new"), cat.path("postings"))
+    cat.commit_table("postings", rows=cat.read("postings").count())
+
+    posts = cat.read("postings")
+    m = cat.manifest()
+    m["checkpoints"] = {k: v for k, v in m["checkpoints"].items()
+                        if not k.startswith("blocks/")}
+    cat._save(m)
+    for b in range(n_buckets):
+        ts = time.time()
+        sub = (posts.where(F.col("bucket") == b)
+               .withColumn("salt", F.when(
+                   F.col("df") > SALT_DF_THRESHOLD,
+                   (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
+               .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
+                       "idf", "avgdl"))
+        packed = (sub.repartition(
+            max(spark.sparkContext.defaultParallelism // 4, 1),
+            "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id")
+            .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA))
+        packed.write.mode("overwrite").parquet(cat.path(f"blocks/bucket={b}"))
+        cat.checkpoint("blocks", f"bucket={b}", rows=-1,
+                       t_start=ts, t_end=time.time())
+    cat.commit_table("blocks")
+
+
+# -------------------------------------------------------------------- upsert
+
+def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
+    """MERGE INTO semantics on doc_key: replace matching docs, add the
+    rest (B6). Only new docs are tokenized."""
+    cat = Catalog(spark, index_dir)
+    keyed = new_corpus.withColumn(
+        "doc_key", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
+    store = cat.read("doc_store")
+    # materialize replaced ids BEFORE doc_store is swapped out beneath
+    # the lazy plans that reference it
+    (store.join(keyed.select("doc_key"), "doc_key", "leftsemi")
+     .select("doc_id", "doc_key")
+     .write.mode("overwrite").parquet(cat.path("_staging_replaced")))
+    replaced = spark.read.parquet(cat.path("_staging_replaced"))
+    n_replaced = replaced.count()
+    next_doc = (store.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+
+    new_docs = assign_dense_ids(
+        keyed, ["doc_key"], "doc_id", cat.path("_staging_docs_delta"))
+    new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + next_doc)
+    meta = extract_meta(new_docs)
+    new_store = (new_docs.join(meta, "doc_id")
+                 .withColumn("id", F.coalesce("arxiv_id", "doc_key")))
+
+    # delete-then-add: drop replaced rows, append new ones
+    live_store = store.join(replaced.select("doc_id"), "doc_id", "leftanti")
+    merged = live_store.unionByName(new_store.select(*live_store.columns))
+    _swap_write(cat, merged, "doc_store")
+    cat.commit_table("doc_store", rows=cat.read("doc_store").count())
+
+    new_toks = tokenize_docs(new_store.select("doc_id", "content", "lang"))
+    live_toks = cat.read("tokens").join(
+        replaced.select("doc_id"), "doc_id", "leftanti")
+    _swap_write(cat, live_toks.unionByName(new_toks), "tokens")
+    cat.commit_table("tokens", rows=cat.read("tokens").count())
+
+    rebuild_relational(spark, cat)
+    n_new = new_corpus.count()
+    cat.metric("upsert", added=n_new, replaced=n_replaced)
+    return {"added": n_new, "replaced": n_replaced}
+
+
+# -------------------------------------------------------------------- delete
+
+def delete_by_path(spark: SparkSession, index_dir: str,
+                   path_prefix: str) -> int:
+    """Recursive delete by path (S6, Indexing.java:211-241)."""
+    cat = Catalog(spark, index_dir)
+    store = cat.read("doc_store")
+    (store.where(F.col("path").startswith(path_prefix)).select("doc_id")
+     .write.mode("overwrite").parquet(cat.path("_staging_doomed")))
+    doomed = spark.read.parquet(cat.path("_staging_doomed"))
+    n = doomed.count()
+    if n == 0:
+        return 0
+    _swap_write(cat, store.join(doomed, "doc_id", "leftanti"), "doc_store")
+    cat.commit_table("doc_store", rows=cat.read("doc_store").count())
+    _swap_write(cat, cat.read("tokens").join(doomed, "doc_id", "leftanti"),
+                "tokens")
+    cat.commit_table("tokens", rows=cat.read("tokens").count())
+    rebuild_relational(spark, cat)
+    cat.metric("delete", removed=n, path_prefix=path_prefix)
+    return n
+
+
+def _swap_write(cat: Catalog, df: DataFrame, table: str) -> None:
+    """Overwrite a table we are also reading from: stage + atomic move
+    (Iceberg snapshot-swap analog)."""
+    import shutil
+    tmp = cat.path(f"_{table}_new")
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(cat.path(table), ignore_errors=True)
+    shutil.move(tmp, cat.path(table))
+
+
+# ------------------------------------------------------------------ annotate
+
+ANNOT_SCHEMA = ("doc_id long, math_idx int, mterm string, weight double")
+
+
+def annotate_mterms(docs: DataFrame) -> DataFrame:
+    """S10 -indocprocess analog (InDocProcessing.java:76-225): per
+    <math> element, the weighted M-terms that would be indexed — written
+    as a docs_annotated side table instead of mutated XHTML files."""
+    from mias_spec import mathml
+    from mias_spec.document import _is_markup
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, lang in zip(
+                    pdf["doc_id"], pdf["content"], pdf["lang"]):
+                if not content or not _is_markup(content, lang):
+                    continue
+                for mi, el in enumerate(mathml.extract_math_elements(content)):
+                    for variant in ("P", "C"):
+                        branch = mathml.select_branch(el, variant)
+                        if branch is None:
+                            continue
+                        for term, w, _pos in mathml.formula_mterms(branch):
+                            rows.append((doc_id, mi, term, w))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "math_idx", "mterm", "weight"])
+
+    return docs.select("doc_id", "content", "lang").mapInPandas(
+        fn, ANNOT_SCHEMA)
