@@ -1,38 +1,94 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: ingest the sf0.001 ``documents`` table as a
+corpus, build the full inverted index (doc_ids, M-term/text tokenize,
+postings, packed blocks) and run a BM25 top-k search through the engine.
+
+``queries()`` / ``oracle_sql()`` — the oracle-checked operator suite
+(mias_spark/pipelines/suite.py): IR core (tf/df/norms/BM25 top-k incl.
+conjunction), dedup family (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), embedding similarity (brute-force cosine top-k + sign-LSH),
+text analysis (lang-id / quality / token stats / fingerprinting) and
+relational coverage (TPC-H q1/q3ish, windowed event rollups).
+
+Non-SQL-expressible entries (math M-term annotation over synthesized
+MathML corpus — custom Arrow UDF pipeline) have no oracle_sql and get
+the driver's rows-only check; their real gate is tests/ (rank identity
+vs the pandas oracle).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mias_spark.pipelines.suite import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from mias_spark.build import build_index
+    from mias_spark.search import Engine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.select(
+        F.concat(F.lit("corpus/"), "source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    ix = os.path.join(tempfile.gettempdir(), "mias_flagship_ix")
+    build_index(spark, corpus, ix, n_buckets=4)
+    eng = Engine(spark, ix)
+    res = eng.search("spark join merge", k=20, with_fields=True)
+    return spark.createDataFrame(res.hits)
+
+
+def _math_mterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: weighted M-term extraction over a deterministic MathML
+    corpus (the custom Arrow-UDF math pipeline; oracle = pytest golden)."""
+    from pyspark.sql import functions as F
+
+    from mias_spark.ops import annotate_mterms
+    from mias_spec.corpus import make_corpus
+
+    c = spark.createDataFrame(make_corpus(200))
+    docs = c.withColumn("doc_id", F.monotonically_increasing_id())
+    return annotate_mterms(docs)
+
+
+def _math_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full engine build + math query over the synthetic
+    MathML corpus (rank identity vs the pandas oracle is enforced in
+    tests/test_engine.py)."""
+    from mias_spark.build import build_index
+    from mias_spark.search import Engine
+    from mias_spec.corpus import EXACT_AST, make_corpus, render_math
+
+    ix = os.path.join(tempfile.gettempdir(), "mias_mathsearch_ix")
+    build_index(spark, spark.createDataFrame(make_corpus(120)), ix,
+                n_buckets=2)
+    eng = Engine(spark, ix)
+    res = eng.search(render_math(EXACT_AST), k=10, with_fields=False)
+    return spark.createDataFrame(res.hits)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out["math_mterm_annotate"] = _math_mterms
+    out["math_search_topk"] = _math_search_topk
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

@@ -1,0 +1,646 @@
+"""Oracle-checked query suite — every entry is (spark_fn, duckdb_sql).
+
+Each ``spark_fn(spark, sf_dir) -> DataFrame`` is idiomatic DataFrame API
+(native functions only — the hot path never enters Python); the paired
+SQL string is the ANSI equivalent DuckDB runs on the same parquet for
+the driver's CORRECTNESS gate. Column names/types are aligned on both
+sides; floats are rounded BEFORE ranking so rank tie-breaks agree.
+
+Contents:
+  ir_*          the SQL-expressible core of the index engine (token tf,
+                dictionary df, norms, BM25 top-k incl. conjunctive AND)
+                over the driver-provided `documents` table
+  dedup_*       exact (md5), MinHash-band candidates, SimHash-16,
+                n-gram Jaccard — training-data dedup family
+  ann_* / lsh_* embedding similarity: brute-force cosine top-k + sign-LSH
+  lang_/quality_/token_/fingerprint_  text-analysis family
+  tpch_* / events_*  relational + windowed coverage (joins, agg, windows)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mias_spec.analyzer import stopword_sql_list
+
+STOP_SQL = stopword_sql_list()
+TOKEN_SPLIT = "[^a-z0-9_]+"
+
+# ---------------------------------------------------------------- helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded analyzed tokens of `documents.text` — mirrors
+    mias_spec.analyzer with native functions (SQL-portable)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(
+            F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
+        .where((F.col("term") != "") & ~F.col("term").isin(
+            *sorted(s.strip("'") for s in STOP_SQL.split(", "))))
+    )
+
+
+_TOKENS_SQL = f"""
+    SELECT doc_id, t.term AS term
+    FROM documents, unnest(string_split_regex(lower(text), '{TOKEN_SPLIT}')) AS t(term)
+    WHERE t.term <> '' AND t.term NOT IN ({STOP_SQL})
+"""
+
+# BM25 over documents.text: one field, spec constants
+_BM25_CTES = f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, term),
+    norms AS (SELECT doc_id, count(*)::BIGINT AS dl
+              FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM norms),
+    dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, terms: list[str],
+                 conjunctive: bool) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    norms = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = norms.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    dic = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = tf.where(F.col("term").isin(terms)).join(F.broadcast(
+        dic.where(F.col("term").isin(terms))), "term").join(norms, "doc_id")
+    tfd = F.col("tf").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    score = idf * tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    per_term = q.select("doc_id", "term", score.alias("s"))
+    agg = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 4).alias("score"),
+        F.countDistinct("term").alias("nt"))
+    if conjunctive:
+        agg = agg.where(F.col("nt") == len(terms))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.select("doc_id", "score", F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= 20))
+
+
+def _bm25_sql(terms: list[str], conjunctive: bool) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if conjunctive else ""
+    return f"""
+    {_BM25_CTES},
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * norms.dl / stats.avgdl)) AS s,
+             tf.term
+      FROM tf JOIN dict ON tf.term = dict.term
+              JOIN norms ON tf.doc_id = norms.doc_id
+              CROSS JOIN stats
+      WHERE tf.term IN ({tlist})
+    ),
+    agg AS (
+      SELECT doc_id, round(sum(s), 4) AS score
+      FROM scored GROUP BY doc_id {having}
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg) WHERE rank <= 20
+    """
+
+
+# ------------------------------------------------------------------ IR core
+
+def ir_doc_stats(spark, sf_dir):
+    """S9 stats analog (Indexing.java:246-272) over the documents table."""
+    return (_docs(spark, sf_dir).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+IR_DOC_STATS_SQL = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang
+"""
+
+
+def ir_term_tf(spark, sf_dir):
+    """B1 token->posting aggregation: per-(doc, term) tf."""
+    return _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"))
+
+
+IR_TERM_TF_SQL = f"""
+    {_BM25_CTES} SELECT doc_id, term, tf FROM tf
+"""
+
+
+def ir_dictionary_df(spark, sf_dir):
+    """B2 dictionary: term -> document frequency."""
+    t = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"))
+    return t.groupBy("term").agg(F.count("*").alias("df"))
+
+
+IR_DICTIONARY_DF_SQL = f"{_BM25_CTES} SELECT term, df FROM dict"
+
+
+def ir_doc_norms(spark, sf_dir):
+    """B5 length norms per doc."""
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("dl"))
+
+
+IR_DOC_NORMS_SQL = f"{_BM25_CTES} SELECT doc_id, dl FROM norms"
+
+
+def ir_bm25_topk(spark, sf_dir):
+    """Q6/Q8: single-term BM25 top-20 (DataFrame fallback scorer)."""
+    return _bm25_scored(spark, sf_dir, ["spark"], False)
+
+
+IR_BM25_TOPK_SQL = _bm25_sql(["spark"], False)
+
+
+def ir_bm25_multiterm(spark, sf_dir):
+    """Q5 disjunction: OR-union, scores summed."""
+    return _bm25_scored(spark, sf_dir, ["spark", "join", "merge"], False)
+
+
+IR_BM25_MULTITERM_SQL = _bm25_sql(["spark", "join", "merge"], False)
+
+
+def ir_bm25_conjunctive(spark, sf_dir):
+    """Q4 conjunction (MUST ∧ MUST): docs matching every term."""
+    return _bm25_scored(spark, sf_dir, ["spark", "join"], True)
+
+
+IR_BM25_CONJUNCTIVE_SQL = _bm25_sql(["spark", "join"], True)
+
+
+def ir_delete_semantics(spark, sf_dir):
+    """S6 delete-by-predicate: surviving doc counts per lang after
+    DELETE WHERE source='src0'."""
+    return (_docs(spark, sf_dir).where(F.col("source") != "src0")
+            .groupBy("lang").agg(F.count("*").alias("n_docs")))
+
+
+IR_DELETE_SEMANTICS_SQL = """
+    SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+    WHERE source <> 'src0' GROUP BY lang
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) buckets with >1 member; keeper = min id."""
+    return (_docs(spark, sf_dir)
+            .groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keeper"))
+            .where(F.col("n_dups") > 1))
+
+
+DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
+           min(doc_id)::BIGINT AS keeper
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+_N_HASH = 8          # minhash signature length
+_SHINGLE_K = 12      # char-shingle width
+
+
+def _shingles(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(length(text)-{_SHINGLE_K - 1}, 1)),"
+            f" i -> substring(text, i, {_SHINGLE_K}))")).alias("sh"))
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, substring(text, i, {_SHINGLE_K}) AS sh
+    FROM documents,
+         unnest(range(1, greatest(length(text)-{_SHINGLE_K - 1}, 1) + 1)) AS g(i)
+"""
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash + LSH banding: per-doc signature = min(md5(seed||shingle))
+    per seed; 4 bands of 2 -> candidate pairs sharing >=1 band."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("sh"))))
+            .alias(f"h{j}") for j in range(_N_HASH)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+                 .alias("key"))
+        for b in range(_N_HASH // 2)])).alias("bk")) \
+        .select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_bands")))
+
+
+_SIG_COLS = ", ".join(
+    f"min(md5('s{j}:' || sh)) AS h{j}" for j in range(_N_HASH))
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
+    for b in range(_N_HASH // 2))
+DEDUP_MINHASH_SQL = f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM shingles GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS})
+    SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+           count(*)::BIGINT AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash-16: bit j votes +1/-1 by the j-th hex digit of md5(term);
+    near-dups share a fingerprint."""
+    t = _tokens(spark, sf_dir).withColumn("h", F.md5("term"))
+    bits = [F.sum(F.when(F.substring("h", j + 1, 1) >= "8", 1)
+                  .otherwise(-1)).alias(f"b{j}") for j in range(16)]
+    per_doc = t.groupBy("doc_id").agg(*bits)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, 2 ** j).otherwise(0)
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIM_BITS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN substring(h, {j + 1}, 1) >= '8' "
+    f"THEN 1 ELSE -1 END) > 0 THEN {2 ** j} ELSE 0 END)"
+    for j in range(16))
+DEDUP_SIMHASH_SQL = f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    h AS (SELECT doc_id, md5(term) AS h FROM toks)
+    SELECT doc_id, ({_SIM_BITS})::BIGINT AS simhash FROM h GROUP BY doc_id
+"""
+
+
+def ngram_jaccard(spark, sf_dir):
+    """Token-3-gram Jaccard of consecutive doc pairs (doc_id < 500) —
+    the verification step of near-dup candidates."""
+    sh = (_shingles(spark, sf_dir)
+          .where(F.col("doc_id") < 500).distinct())
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("b.doc_id") == F.col("a.doc_id") + 1))
+             .groupBy(F.col("a.doc_id").alias("doc_a"))
+             .agg(F.count("*").alias("inter")))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (inter
+            .join(counts.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .withColumnRenamed("n", "na")
+            .join(counts.withColumn("doc_a", F.col("doc_id") - 1)
+                  .select("doc_a", F.col("n").alias("nb")), "doc_a")
+            .select("doc_a",
+                    F.round(F.col("inter")
+                            / (F.col("na") + F.col("nb") - F.col("inter")),
+                            4).alias("jaccard")))
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, sh FROM ({_SHINGLES_SQL}) WHERE doc_id < 500),
+    counts AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, count(*)::BIGINT AS inter
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND b.doc_id = a.doc_id + 1
+      GROUP BY a.doc_id)
+    SELECT i.doc_a::BIGINT AS doc_a,
+           round(i.inter / (ca.n + cb.n - i.inter), 4) AS jaccard
+    FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+                 JOIN counts cb ON cb.doc_id = i.doc_a + 1
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+_DIM = 64
+_NQ = 5   # first _NQ vec_ids are the query set
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 per query vector (the ANN baseline;
+    scale path = lsh_cosine_buckets)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    dot = F.expr("aggregate(zip_with(qe, embedding, (x, y) -> "
+                 "cast(x AS double) * cast(y AS double)), 0D, "
+                 "(acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qe, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    ne = F.expr("sqrt(aggregate(embedding, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    scored = (emb.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(dot / (nq * ne), 4).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
+ANN_COSINE_TOPK_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {_NQ}),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             round(
+               (SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                FROM generate_series(1, {_DIM}) AS g(i))
+               / (sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                        FROM generate_series(1, {_DIM}) AS g(i)))
+                  * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                          FROM generate_series(1, {_DIM}) AS g(i)))), 4) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+    SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs) WHERE rank <= 10
+"""
+
+
+def lsh_cosine_buckets(spark, sf_dir):
+    """Sign-LSH over 8 fixed coordinates: bucket histogram (the bucketed
+    candidate-generation path for ANN at scale)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at("embedding", i + 1) > 0, 2 ** i).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return (emb.select(bucket.cast("long").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_vecs")))
+
+
+_LSH_BITS = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(8))
+LSH_COSINE_BUCKETS_SQL = f"""
+    SELECT ({_LSH_BITS})::BIGINT AS bucket, count(*)::BIGINT AS n_vecs
+    FROM embeddings GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ text analysis
+
+_LANG_STOPS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "for", "on", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"],
+}
+
+
+def lang_id(spark, sf_dir):
+    """Stopword-profile language ID; confusion counts vs labeled lang."""
+    toks = (_docs(spark, sf_dir).select("doc_id", "lang", F.explode(
+        F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
+        .where(F.col("term") != ""))
+    aggs = [F.sum(F.when(F.col("term").isin(ws), 1).otherwise(0))
+            .alias(f"hits_{lg}") for lg, ws in _LANG_STOPS.items()]
+    per = toks.groupBy("doc_id", "lang").agg(*aggs)
+    pred = (F.when((F.col("hits_en") >= F.col("hits_es"))
+                   & (F.col("hits_en") >= F.col("hits_de"))
+                   & (F.col("hits_en") >= F.col("hits_fr")), "en")
+            .when((F.col("hits_es") >= F.col("hits_de"))
+                  & (F.col("hits_es") >= F.col("hits_fr")), "es")
+            .when(F.col("hits_de") >= F.col("hits_fr"), "de")
+            .otherwise("fr"))
+    return (per.select("lang", pred.alias("pred_lang"))
+            .groupBy("lang", "pred_lang").agg(F.count("*").alias("n")))
+
+
+_LANG_HITS = ", ".join(
+    "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) AS hits_{}".format(
+        ", ".join(f"'{w}'" for w in ws), lg)
+    for lg, ws in _LANG_STOPS.items())
+LANG_ID_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '{TOKEN_SPLIT}')) AS t(term)
+      WHERE t.term <> ''),
+    per AS (SELECT doc_id, lang, {_LANG_HITS} FROM toks GROUP BY doc_id, lang),
+    pred AS (SELECT lang,
+      CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+           WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+           WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS pred_lang
+      FROM per)
+    SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred
+    GROUP BY lang, pred_lang
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality features: token count, stopword ratio, mean token length."""
+    toks = (_docs(spark, sf_dir).select("doc_id", F.explode(
+        F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
+        .where(F.col("term") != ""))
+    stop = sorted(s.strip("'") for s in STOP_SQL.split(", "))
+    return (toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        F.round(F.sum(F.when(F.col("term").isin(stop), 1).otherwise(0))
+                / F.count("*"), 4).alias("stop_ratio")))
+
+
+TEXT_QUALITY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '{TOKEN_SPLIT}')) AS t(term)
+      WHERE t.term <> '')
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(length(term)), 4) AS avg_token_len,
+           round(sum(CASE WHEN term IN ({STOP_SQL}) THEN 1 ELSE 0 END)
+                 / count(*), 4) AS stop_ratio
+    FROM toks GROUP BY doc_id
+"""
+
+
+def token_stats(spark, sf_dir):
+    """Corpus-level token statistics (whitespace + analyzer counts)."""
+    d = _docs(spark, sf_dir)
+    ws = d.select(F.size(F.split("text", " ")).alias("n_ws"))
+    t = _tokens(spark, sf_dir)
+    a = ws.agg(F.sum("n_ws").alias("ws_tokens")).collect()[0]["ws_tokens"]
+    b = t.agg(F.count("*").alias("c"),
+              F.countDistinct("term").alias("d")).collect()[0]
+    return spark.createDataFrame(
+        [(int(a), int(b["c"]), int(b["d"]))],
+        "ws_tokens long, analyzer_tokens long, distinct_terms long")
+
+
+TOKEN_STATS_SQL = f"""
+    WITH toks AS ({_TOKENS_SQL})
+    SELECT
+      (SELECT sum(len(string_split(text, ' ')))::BIGINT FROM documents) AS ws_tokens,
+      (SELECT count(*)::BIGINT FROM toks) AS analyzer_tokens,
+      (SELECT count(DISTINCT term)::BIGINT FROM toks) AS distinct_terms
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint: min md5 over char 12-grams."""
+    return _shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.min(F.md5("sh")).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+    WITH shingles AS ({_SHINGLES_SQL})
+    SELECT doc_id, min(md5(sh)) AS fingerprint FROM shingles GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- relational
+
+def tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*)::BIGINT AS count_order
+    FROM lineitem WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3ish(spark, sf_dir):
+    """customer ⋈ orders ⋈ lineitem revenue top-10 (broadcast dims)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+               o.o_custkey == F.col("c_custkey")))
+    agg = (j.groupBy("l_orderkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
+TPCH_Q3ISH_SQL = """
+    WITH agg AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey)
+    SELECT l_orderkey::BIGINT AS l_orderkey, revenue, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+      FROM agg) WHERE rank <= 10
+"""
+
+
+def events_hourly(spark, sf_dir):
+    """Streaming-analog batch rollup: hourly windowed agg per type."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value")))
+
+
+EVENTS_HOURLY_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def events_top_per_user(spark, sf_dir):
+    """Window ranking: each user's highest-value event."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id",
+                    F.round("value", 2).alias("value")))
+
+
+EVENTS_TOP_PER_USER_SQL = """
+    SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+           round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn = 1
+"""
+
+
+# -------------------------------------------------------------- registry
+
+#: name -> (spark_fn, duckdb_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "ir_doc_stats": (ir_doc_stats, IR_DOC_STATS_SQL),
+    "ir_term_tf": (ir_term_tf, IR_TERM_TF_SQL),
+    "ir_dictionary_df": (ir_dictionary_df, IR_DICTIONARY_DF_SQL),
+    "ir_doc_norms": (ir_doc_norms, IR_DOC_NORMS_SQL),
+    "ir_bm25_topk": (ir_bm25_topk, IR_BM25_TOPK_SQL),
+    "ir_bm25_multiterm": (ir_bm25_multiterm, IR_BM25_MULTITERM_SQL),
+    "ir_bm25_conjunctive": (ir_bm25_conjunctive, IR_BM25_CONJUNCTIVE_SQL),
+    "ir_delete_semantics": (ir_delete_semantics, IR_DELETE_SEMANTICS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "lsh_cosine_buckets": (lsh_cosine_buckets, LSH_COSINE_BUCKETS_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
+    "tpch_q3ish": (tpch_q3ish, TPCH_Q3ISH_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_top_per_user": (events_top_per_user, EVENTS_TOP_PER_USER_SQL),
+}
