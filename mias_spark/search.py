@@ -19,7 +19,6 @@ Two physical plans, rank-identical by construction:
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass
 
 import numpy as np
@@ -99,16 +98,16 @@ class Engine:
             return SearchResult(empty, n_groups, 0, processed)
         if mode == "df":
             scored = self._score_dataframe(clauses)
+            top = (
+                scored.groupBy("doc_id")
+                .agg(F.sum("score").alias("score"),
+                     F.countDistinct("grp").alias("_ng"))
+                .where(F.col("_ng") == n_groups).drop("_ng")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(offset + k)
+            )
         else:
-            scored = self._score_blocks(clauses, k + offset, n_groups)
-        top = (
-            scored.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"),
-                 F.countDistinct("grp").alias("_ng"))
-            .where(F.col("_ng") == n_groups).drop("_ng")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(offset + k)
-        )
+            top = self._topk_blocks(clauses, k + offset, n_groups)
         hits = top.toPandas().iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
         if with_fields and len(hits):
@@ -141,68 +140,157 @@ class Engine:
         )
         return j.select("doc_id", "grp", score.alias("score"))
 
-    # -------------------------------------------------------- block scorer
-    def _score_blocks(self, clauses: pd.DataFrame, topn: int,
-                      n_groups: int) -> DataFrame:
-        """Decode packed blocks with a numpy kernel. Block-max pruning:
-        a per-term score floor is estimated driver-side from block-max
-        metadata (cheap: one tiny agg over pruned block stats), then
-        blocks whose max_score cannot contribute to the top-n under an
-        OR-upper-bound are skipped inside the kernel. Exact for
-        single-group queries; for multi-group (conjunctive) queries
-        pruning is disabled (correctness first)."""
+    # ---------------------------------------------- block-max top-k scorer
+    def _topk_blocks(self, clauses: pd.DataFrame, topn: int,
+                     n_groups: int) -> DataFrame:
+        """Doc-sharded block-max top-k over the packed posting blocks.
+
+        Physical plan (the WAND-style scale path, SURVEY.md §2.4 Q8):
+
+        1. partition-pruned scan of the query terms' blocks (bucket
+           predicate + term_id min/max skipping on parquet),
+        2. driver-side pruning metadata from one TINY window query over
+           block stats (<= n_terms * topn rows): a safe score floor
+           ``theta`` — the topn-th largest block-max of a single term is
+           achieved by topn distinct docs (blocks of one term are
+           doc-disjoint), so the topn-th best total is at least it —
+           and per-term upper bounds; a block of term t is skipped when
+           ``boost_t*max_score + sum_{u!=t} UB_u < theta`` (pushed down
+           as a Catalyst filter on block metadata, so skipped blocks'
+           binary columns are never even read),
+        3. blocks exploded to the doc-range shards they overlap and
+           hash-repartitioned by shard — every doc's complete postings
+           land in exactly one task (ONE narrow shuffle of compressed
+           blocks; no exploded-posting shuffle, no global groupBy),
+        4. a vectorized numpy kernel per partition: decode, mask to own
+           shard, accumulate (doc, grp) partial sums in sorted term
+           order (deterministic float accumulation), enforce the
+           MUST-group conjunction, emit the partition-local top-n only,
+        5. driver merge of <= n_shards * topn rows.
+
+        theta > 0 only for single-group queries: a block-max achieving
+        doc may fail a multi-group conjunction, so its score is not a
+        valid floor there (documented divergence; conjunction still
+        benefits from steps 3-5).
+        """
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
         bdf = (self.cat.read("blocks")
                .where(F.col("bucket").isin(buckets))
                .where(F.col("term_id").isin(terms)))
-        cmap = {}
+        cmap: dict[int, list[tuple[int, float]]] = {}
         for r in clauses.itertuples():
             cmap.setdefault(int(r.term_id), []).append(
                 (int(r.grp), float(r.boost)))
-        threshold = 0.0
-        if n_groups == 1:
-            # floor = top-n of block-max upper bounds (driver-side, tiny)
-            stats = (bdf.select("term_id", "max_score", "n_docs")
-                     .toPandas())
-            ubs = []
-            for r in stats.itertuples():
-                boost = max(b for _, b in cmap[int(r.term_id)])
-                ubs.extend([float(r.max_score) * boost] * int(r.n_docs))
-            if len(ubs) > topn:
-                threshold = float(heapq.nlargest(topn, ubs)[-1]) * 0.0
-                # NOTE: a block's max upper-bounds ONE term's contribution;
-                # a doc may match several terms, so a nonzero floor is only
-                # safe with per-doc term-sum bounds. Keep 0.0 until the
-                # doc-at-a-time WAND kernel lands (next round); metadata
-                # and plumbing are in place.
-        bc = self.spark.sparkContext.broadcast((cmap, threshold))
+        max_boost = {t: max(b for _, b in es) for t, es in cmap.items()}
 
-        def kernel(batches):
-            cmap_l, thr = bc.value
-            for pdf in batches:
-                outs = {"doc_id": [], "grp": [], "score": []}
-                for row in pdf.itertuples():
-                    if row.max_score <= thr:
-                        continue
-                    entries = cmap_l.get(int(row.term_id))
-                    if not entries:
-                        continue
-                    docs, tfs, dls, ws = blk.unpack_block(row)
-                    tf = tfs.astype(np.float64)
-                    for grp, boost in entries:
-                        s = (boost * (ws / tf) * row.idf
-                             * tf * (BM25_K1 + 1.0)
-                             / (tf + BM25_K1 * (1.0 - BM25_B
-                                                + BM25_B * dls / row.avgdl)))
-                        outs["doc_id"].extend(docs.tolist())
-                        outs["grp"].extend([grp] * len(docs))
-                        outs["score"].extend(s.tolist())
-                yield pd.DataFrame(outs)
+        # ---- driver metadata: ONE tiny agg job over block stats columns
+        # (per-term top-n block maxes + doc extent; <= n_terms rows back).
+        # collect_list is over block-LEVEL stats (df/BLOCK_SIZE values per
+        # term); if a term's block count itself becomes driver-hostile
+        # (df >> 10^9), swap this agg for a bounded two-level top-n merge.
+        mrows = (bdf.groupBy("term_id").agg(
+            F.slice(F.sort_array(F.collect_list("max_score"), False),
+                    1, topn).alias("tops"),
+            F.count("*").alias("nb"),
+            F.min("first_doc").alias("blo"),
+            F.max("last_doc").alias("bhi"))).collect()
+        if not mrows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        lo = min(int(r["blo"]) for r in mrows)
+        hi = max(int(r["bhi"]) for r in mrows)
+        theta = 0.0
+        if n_groups == 1:
+            for r in mrows:
+                if int(r["nb"]) >= topn:
+                    theta = max(theta,
+                                r["tops"][topn - 1] * max_boost[r["term_id"]])
+        ub = {r["term_id"]: r["tops"][0] * max_boost[r["term_id"]]
+              for r in mrows}
+        sum_ub = sum(ub.values())
+
+        # ---- block-skip filter pushed into the scan (metadata columns)
+        if theta > 0.0:
+            rest = {t: sum_ub - u for t, u in ub.items()}
+            rest_df = self.spark.createDataFrame(
+                [(t, float(rest[t]), float(max_boost[t])) for t in rest],
+                "term_id long, rest double, mboost double")
+            bdf = (bdf.join(F.broadcast(rest_df), "term_id")
+                   .where(F.col("mboost") * F.col("max_score")
+                          + F.col("rest") >= theta)
+                   .drop("rest", "mboost"))
+
+        # ---- doc-range sharding: each block joins every shard it spans
+        span = max(hi - lo + 1, 1)
+        n_shards = max(self.spark.sparkContext.defaultParallelism, 1)
+        # integer DIV on both sides (Catalyst + numpy) — double floor()
+        # drifts at 10^12-doc scale
+        s_of = lambda c: F.expr(  # noqa: E731
+            f"({c} - {lo}L) * {n_shards}L div {span}L")
+        sharded = (bdf.withColumn("shard", F.explode(F.sequence(
+            s_of("first_doc"),
+            F.least(s_of("last_doc"), F.lit(n_shards - 1)))))
+            .repartition(n_shards, "shard"))
 
         cdf = self.spark.createDataFrame(
             clauses[["term_id", "idf", "avgdl"]].drop_duplicates("term_id"),
             "term_id long, idf double, avgdl double")
-        withmeta = bdf.join(F.broadcast(cdf), "term_id")
-        return withmeta.mapInPandas(
-            kernel, "doc_id long, grp int, score double")
+        withmeta = sharded.join(F.broadcast(cdf), "term_id")
+        gmult = 1 << max(int(n_groups).bit_length(), 1)
+        bc = self.spark.sparkContext.broadcast(
+            (cmap, n_groups, topn, lo, span, n_shards, gmult))
+
+        def kernel(batches):
+            cmap_l, ngroups, n_top, lo_l, span_l, ns, gm = bc.value
+            acc_docs, acc_grps, acc_scores, order = [], [], [], []
+            for pdf in batches:
+                for row in pdf.itertuples():
+                    entries = cmap_l.get(int(row.term_id))
+                    if not entries:
+                        continue
+                    docs, tfs, dls, ws = blk.unpack_block(row)
+                    mask = ((docs - lo_l) * ns // span_l) == row.shard
+                    if not mask.any():
+                        continue
+                    docs, tfs, dls, ws = (docs[mask], tfs[mask],
+                                          dls[mask], ws[mask])
+                    tf = tfs.astype(np.float64)
+                    base = (ws / tf) * row.idf * tf * (BM25_K1 + 1.0) / (
+                        tf + BM25_K1 * (1.0 - BM25_B
+                                        + BM25_B * dls / row.avgdl))
+                    for grp, boost in entries:
+                        acc_docs.append(docs)
+                        acc_grps.append(np.full(len(docs), grp, np.int64))
+                        acc_scores.append(boost * base)
+                        order.append((int(row.term_id), int(row.salt),
+                                      int(row.block_ord), grp))
+            if not acc_docs:
+                return
+            # deterministic accumulation: concatenate in (term, salt,
+            # block, grp) order so float sums match across plans/runs
+            perm = sorted(range(len(order)), key=lambda i: order[i])
+            docs = np.concatenate([acc_docs[i] for i in perm])
+            grps = np.concatenate([acc_grps[i] for i in perm])
+            scores = np.concatenate([acc_scores[i] for i in perm])
+            key = docs * gm + grps
+            uk, inv = np.unique(key, return_inverse=True)
+            gsum = np.zeros(len(uk))
+            np.add.at(gsum, inv, scores)
+            udoc = uk // gm
+            ddocs, dinv = np.unique(udoc, return_inverse=True)
+            tot = np.zeros(len(ddocs))
+            np.add.at(tot, dinv, gsum)
+            gcnt = np.zeros(len(ddocs), np.int64)
+            np.add.at(gcnt, dinv, 1)
+            ok = gcnt == ngroups
+            ddocs, tot = ddocs[ok], tot[ok]
+            if len(ddocs) > n_top:
+                part = np.lexsort((ddocs, -tot))[:n_top]
+                ddocs, tot = ddocs[part], tot[part]
+            yield pd.DataFrame({"doc_id": ddocs.astype(np.int64),
+                                "score": tot})
+
+        local = withmeta.mapInPandas(kernel, "doc_id long, score double")
+        return (local.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(topn))

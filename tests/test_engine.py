@@ -139,3 +139,37 @@ def test_search_result_fields(spark, tiny_build):
         .select("id", "arxiv_id").limit(5).collect()
     for row in ids:
         assert row["id"] == row["arxiv_id"]
+
+
+@pytest.mark.parametrize("k", [1, 2, 5])
+def test_blockmax_pruning_active(spark, tiny_build, k):
+    """Small-k single-group queries activate the theta floor (every term
+    has >= k blocks), so the block-skip filter actually prunes — results
+    must stay rank-identical to the oracle and the df plan."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    for qt in ("energy", "theorem", "matrix"):
+        exp = O.search(oidx, qt, "BOTH", k)
+        got = eng.search(qt, k=k, mode="blocks", with_fields=False).hits
+        ref = eng.search(qt, k=k, mode="df", with_fields=False).hits
+        assert [int(d) for d in got["doc_id"]] == \
+            [int(d) for d in exp["doc_id"]] == \
+            [int(d) for d in ref["doc_id"]], qt
+        assert np.allclose(got["score"].astype(float),
+                           exp["score"].astype(float), atol=1e-6)
+
+
+def test_blocks_mode_offset_and_conjunction(spark, tiny_build):
+    """Multi-group (conjunctive) queries through the doc-sharded kernel:
+    pagination slices the same global order as the df plan."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    q = "energy equivalence"
+    full = eng.search(q, k=10, mode="blocks", with_fields=False).hits
+    page2 = eng.search(q, k=5, offset=5, mode="blocks",
+                      with_fields=False).hits
+    dfref = eng.search(q, k=10, mode="df", with_fields=False).hits
+    assert [int(d) for d in full["doc_id"]] == \
+        [int(d) for d in dfref["doc_id"]]
+    assert [int(d) for d in page2["doc_id"]] == \
+        [int(d) for d in full["doc_id"][5:10]]
