@@ -1,0 +1,103 @@
+"""CLI — the MIaS.java verb surface on Spark (MIaS.java:32-60,
+Settings.java:35-74).
+
+    python jobs/mias.py -conf mias.properties -add <corpus.parquet>
+    python jobs/mias.py -conf mias.properties -overwrite <corpus.parquet>
+    python jobs/mias.py -conf mias.properties -delete <path-prefix>
+    python jobs/mias.py -conf mias.properties -deleteindex
+    python jobs/mias.py -conf mias.properties -optimize
+    python jobs/mias.py -conf mias.properties -stats
+    python jobs/mias.py -conf mias.properties -indocprocess <corpus.parquet> <out.parquet>
+    python jobs/mias.py -conf mias.properties -search "<query>"
+
+Under spark-submit, ship the packages with --py-files (see
+jobs/build_index.py header).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    from mias_spark.config import MiasConfig
+
+    conf = MiasConfig()
+    args = list(argv)
+    if "-conf" in args:
+        i = args.index("-conf")
+        conf = MiasConfig.load(args[i + 1])
+        del args[i:i + 2]
+    if not args:
+        print(__doc__)
+        return 2
+    verb, rest = args[0], args[1:]
+
+    if verb == "-deleteindex":     # S7, Indexing.java:184-204 (no Spark)
+        shutil.rmtree(conf.index_dir, ignore_errors=True)
+        print(json.dumps({"deleted": conf.index_dir}))
+        return 0
+
+    from mias_spark.session import get_spark
+    spark = get_spark("mias_cli", cpus=conf.spark_cpus())
+
+    if verb in ("-add", "-overwrite"):
+        from mias_spark.build import build_index, index_stats
+        from mias_spark.ops import explode_formula_docs, upsert
+        corpus = spark.read.parquet(rest[0])
+        if conf.formula_docs:
+            corpus = explode_formula_docs(corpus)
+        manifest = os.path.join(conf.index_dir, "manifest.json")
+        if (verb == "-add" and conf.update and os.path.exists(manifest)):
+            out = upsert(spark, conf.index_dir, corpus)   # B6
+        else:
+            if verb == "-overwrite":
+                shutil.rmtree(conf.index_dir, ignore_errors=True)
+            cat = build_index(spark, corpus, conf.index_dir,
+                              n_buckets=conf.n_buckets,
+                              doc_limit=conf.doc_limit)
+            out = index_stats(cat)
+        print(json.dumps(out, default=str))
+    elif verb == "-delete":        # S6
+        from mias_spark.ops import delete_by_path
+        print(json.dumps(
+            {"removed": delete_by_path(spark, conf.index_dir, rest[0])}))
+    elif verb == "-optimize":      # S8
+        from mias_spark.ops import optimize
+        print(json.dumps(optimize(spark, conf.index_dir)))
+    elif verb == "-stats":         # S9
+        from mias_spark.build import index_stats
+        from mias_spark.catalog import Catalog
+        print(json.dumps(index_stats(Catalog(spark, conf.index_dir)),
+                         default=str))
+    elif verb == "-indocprocess":  # S10
+        from pyspark.sql import functions as F
+
+        from mias_spark.ops import annotate_mterms
+        docs = (spark.read.parquet(rest[0])
+                .withColumn("doc_id", F.monotonically_increasing_id()))
+        annotate_mterms(docs).write.mode("overwrite").parquet(rest[1])
+        print(json.dumps({"annotated_to": rest[1]}))
+    elif verb == "-search":
+        from mias_spark.search import Engine
+        eng = Engine(spark, conf.index_dir)
+        res = eng.search(rest[0], k=min(conf.max_results, 30),
+                         snippets=True)
+        print(json.dumps({
+            "processed_query": res.processed_query,
+            "hits": res.hits.to_dict(orient="records"),
+        }, default=str))
+    else:
+        print(__doc__)
+        return 2
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

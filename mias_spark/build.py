@@ -34,8 +34,8 @@ from pyspark.sql import functions as F
 
 from mias_spark import blocks as blk
 from mias_spark.catalog import Catalog
-from mias_spark.ids import assign_dense_ids
-from mias_spark.tokenize import extract_meta, tokenize_docs
+from mias_spark.ids import assign_ids_hashed, assign_ids_hex
+from mias_spark.tokenize import tokenize_docs, with_meta
 from mias_spec.constants import SALT_DF_THRESHOLD, SALT_DOC_RANGE
 
 
@@ -64,15 +64,12 @@ def build_index(
             src = src.limit(doc_limit)
         keyed = src.withColumn(
             "doc_key", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
-        docs = assign_dense_ids(
-            keyed, ["doc_key"], "doc_id", cat.path("_staging_docs"))
-        meta = extract_meta(docs)
-        store = docs.join(meta, "doc_id")
-        # arXiv id override (HtmlDocument.java:31-36): stored id field
-        store = store.withColumn(
+        docs, n = assign_ids_hex(keyed, "doc_key", "doc_id")
+        # meta computed inline (single pass, no join — content is never
+        # shuffled); arXiv id override (HtmlDocument.java:31-36)
+        store = with_meta(docs).withColumn(
             "id", F.coalesce("arxiv_id", "doc_key"))
         cat.write(store, "doc_store")
-        n = cat.read("doc_store").count()
         cat.commit_table("doc_store", rows=n)
         cat.metric("doc_store", rows=n, secs=time.time() - ts)
 
@@ -80,18 +77,29 @@ def build_index(
     if not cat.table_done("tokens"):
         ts = time.time()
         docs = cat.read("doc_store").select("doc_id", "content", "lang")
+        # UDF-compute-bound stage: the ingest's write width (1x-4x cores,
+        # ids._auto_partitions) already oversubscribes large corpora so
+        # cores stay busy through JVM<->Arrow pipeline stalls (measured
+        # ~55% duty cycle at 1 task/core); only rescue under-parallel
+        # scans here
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
         toks = tokenize_docs(docs)
         cat.write(toks, "tokens")
-        n = cat.read("tokens").count()
-        cat.commit_table("tokens", rows=n)
-        cat.metric("tokens", rows=n, secs=time.time() - ts)
+        cat.commit_table("tokens")
+        cat.metric("tokens", secs=time.time() - ts)
 
     # ----------------------------------------------------------- doc_norms
+    # dl (field length counting every unified variant, B5) is computed in
+    # the tokenize pass and carried ON each token row, so postings never
+    # join norms — this stage only materializes the narrow norms table
+    # for stats/ops parity
     if not cat.table_done("doc_norms"):
         ts = time.time()
         norms = (cat.read("tokens")
                  .groupBy("doc_id", "field")
-                 .agg(F.sum("tf").alias("dl")))
+                 .agg(F.first("dl").alias("dl")))
         cat.write(norms, "doc_norms")
         stats = (cat.read("doc_norms").groupBy("field")
                  .agg(F.count("*").alias("n_docs"),
@@ -108,10 +116,8 @@ def build_index(
         dic = (cat.read("tokens")
                .groupBy("field", "term")
                .agg(F.count("*").alias("df")))  # one token row per doc
-        dic = assign_dense_ids(
-            dic, ["field", "term"], "term_id", cat.path("_staging_terms"))
+        dic, n = assign_ids_hashed(dic, ["field", "term"], "term_id")
         cat.write(dic, "dictionary")
-        n = cat.read("dictionary").count()
         cat.commit_table("dictionary", rows=n)
         cat.metric("dictionary", rows=n, secs=time.time() - ts)
 
@@ -120,14 +126,12 @@ def build_index(
         ts = time.time()
         toks = cat.read("tokens")
         dic = cat.read("dictionary")
-        norms = cat.read("doc_norms")
         fs = cat.props()["field_stats"]
         stats_df = spark.createDataFrame(
             [(f, int(v["n_docs"]), float(v["avgdl"])) for f, v in fs.items()],
             "field string, n_docs long, avgdl double")
         posts = (
             toks.join(dic, ["field", "term"])
-            .join(norms, ["doc_id", "field"])
             .join(F.broadcast(stats_df), "field")
             .withColumn("idf", F.log(
                 F.lit(1.0)
@@ -137,39 +141,20 @@ def build_index(
                 "idf", "avgdl", "positions",
                 F.pmod("term_id", F.lit(n_buckets)).cast("int").alias("bucket"))
         )
-        (posts.repartition(max(n_buckets, 1), "bucket")
+        # range partition: full parallelism AND each task covers a
+        # contiguous (bucket, term) slice, so the partitionBy writer
+        # emits ~1 file per task instead of n_buckets small files each
+        n_out = max(n_buckets, 2 * spark.sparkContext.defaultParallelism)
+        (posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
               .sortWithinPartitions("term_id", "doc_id")
               .write.mode("overwrite").partitionBy("bucket")
               .parquet(cat.path("postings")))
-        n = cat.read("postings").count()
-        cat.commit_table("postings", rows=n)
+        cat.commit_table("postings")
         cat.set_props(n_buckets=n_buckets)
-        cat.metric("postings", rows=n, secs=time.time() - ts)
+        cat.metric("postings", secs=time.time() - ts)
 
     # -------------------------------------------------------------- blocks
-    # driver-side per-bucket loop = per-partition commits + resume points
-    posts = cat.read("postings")
-    for b in range(n_buckets):
-        part = f"bucket={b}"
-        if cat.checkpoint_done("blocks", part):
-            continue
-        ts = time.time()
-        sub = (
-            posts.where(F.col("bucket") == b)
-            .withColumn("salt", F.when(
-                F.col("df") > SALT_DF_THRESHOLD,
-                (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
-            .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
-                    "idf", "avgdl")
-        )
-        packed = (
-            sub.repartition(max(spark.sparkContext.defaultParallelism // 4, 1),
-                            "term_id", "salt")
-            .sortWithinPartitions("term_id", "salt", "doc_id")
-            .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
-        )
-        packed.write.mode("overwrite").parquet(cat.path(f"blocks/{part}"))
-        cat.checkpoint("blocks", part, rows=-1, t_start=ts, t_end=time.time())
+    build_blocks(spark, cat, n_buckets)
     if not cat.table_done("blocks"):
         cat.commit_table("blocks")
 
@@ -179,6 +164,46 @@ def build_index(
     cat.metric("build_total", docs=n_docs, secs=wall,
                docs_per_sec=(n_docs / wall if wall > 0 else None))
     return cat
+
+
+def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
+                 chunk: int | None = None) -> None:
+    """Pack postings into compressed blocks, a chunk of term buckets per
+    Spark job. Checkpoints stay PER BUCKET (the north-rule per-partition
+    resume unit — a killed build redoes only unfinished buckets), but
+    several buckets ride one job + one dynamic-partition-overwrite commit
+    so driver job-scheduling latency doesn't serialize the stage."""
+    posts = cat.read("postings")
+    chunk = chunk or max(1, n_buckets // 2)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for c0 in range(0, n_buckets, chunk):
+        todo = [b for b in range(c0, min(c0 + chunk, n_buckets))
+                if not cat.checkpoint_done("blocks", f"bucket={b}")]
+        if not todo:
+            continue
+        ts = time.time()
+        sub = (
+            posts.where(F.col("bucket").isin(todo))
+            .withColumn("salt", F.when(
+                F.col("df") > SALT_DF_THRESHOLD,
+                (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
+            .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
+                    "idf", "avgdl")
+        )
+        packed = (
+            sub.repartition(max(spark.sparkContext.defaultParallelism,
+                                sub.rdd.getNumPartitions()),
+                            "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id")
+            .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
+            .withColumn("bucket",
+                        F.pmod("term_id", F.lit(n_buckets)).cast("int"))
+        )
+        (packed.write.mode("overwrite").partitionBy("bucket")
+               .parquet(cat.path("blocks")))
+        for b in todo:
+            cat.checkpoint("blocks", f"bucket={b}", rows=-1,
+                           t_start=ts, t_end=time.time())
 
 
 def index_stats(cat: Catalog) -> dict:
@@ -194,6 +219,9 @@ def index_stats(cat: Catalog) -> dict:
         "total_input_bytes": agg["total_bytes"],
         "n_formulae": agg["n_formulae"],
         "n_terms": m["tables"].get("dictionary", {}).get("rows"),
-        "n_postings": m["tables"].get("postings", {}).get("rows"),
+        # postings rows are not counted during the build (saves a job);
+        # stats computes the footer-only count on demand
+        "n_postings": (m["tables"].get("postings", {}).get("rows")
+                       or cat.read("postings").count()),
         "snapshot": m["snapshot"],
     }

@@ -1,18 +1,20 @@
-"""Scalable, deterministic dense-id assignment.
+"""Scalable, deterministic dense-id assignment — no sampling, no
+staging copy.
 
-Assigns ``0..n-1`` ids in global ``order_cols`` order without a global
-single-partition sort:
+``assign_ids_hex``: for keys that are uniform hex digests (doc_key =
+sha256). Range boundaries are analytic — partition p of P covers the
+key prefix range [p/P, (p+1)/P) of the 60-bit hex space — so ids come
+out in GLOBAL sorted key order with zero sampling and zero staging
+write (the classic repartitionByRange needs a sample job AND a
+checkpoint to freeze its nondeterministic boundaries; a hash digest key
+needs neither). One narrow agg (key column only, pruned scan) computes
+per-partition offsets; one wide shuffle moves the rows once.
 
-1. range-repartition on the order columns and CHECKPOINT to parquet
-   (range boundaries are sampled -> nondeterministic across recomputes;
-   the checkpoint freezes them),
-2. per-partition row counts -> driver-side prefix sums (one tiny row per
-   partition),
-3. id = offset[pid] + (row_number within pid ordered by order_cols) - 1.
-
-Step 3 is a window partitioned by pid — Spark sorts each partition
-independently (no single-reducer global sort), so the pattern scales to
-the 10^12-row regime as long as partitions are sized sanely.
+``assign_ids_hashed``: for arbitrary key tuples (dictionary terms).
+Partition = pmod(xxhash64(keys), P), order within partition by the key
+tuple — ids are dense and DETERMINISTIC but not globally key-sorted
+(nothing downstream needs term_ids sorted; bucketing and block layout
+only need stability).
 """
 
 from __future__ import annotations
@@ -20,37 +22,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def _hex_pid(key_col: str, n_part: int):
+    # 32-bit key prefix; (val * P) >> 32 stays in long range for any
+    # realistic P and is monotone in the key — partition boundaries are
+    # exact fractions of the digest space, no sampling
+    val = F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long")
+    return F.shiftright(val * n_part, 32).cast("int").alias("_pid")
 
-def assign_dense_ids(
-    df: DataFrame,
-    order_cols: list[str],
-    id_col: str,
-    staging_path: str,
-    num_partitions: int | None = None,
-) -> DataFrame:
+
+def _auto_partitions(df: DataFrame) -> int:
+    """Between 1x and 4x cores, scaled by the input's own width: big
+    inputs get 4x oversubscription (keeps cores busy through Arrow-UDF
+    pipeline stalls downstream — the written table's file count carries
+    the width forward), tiny inputs stay at 1x (no task-overhead blowup
+    on small corpora)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(par, min(4 * par, 2 * df.rdd.getNumPartitions()))
+
+
+def _with_dense_ids(df: DataFrame, pid_col, order_cols: list[str],
+                    id_col: str, n_part: int) -> tuple[DataFrame, int]:
     spark = df.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    ranged.write.mode("overwrite").parquet(staging_path)
-    staged = spark.read.parquet(staging_path)
-
+    withpid = df.withColumn("_pid", pid_col)
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in staged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_pid"]: r["cnt"] for r in
+        withpid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long")
-
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        staged.join(F.broadcast(off_df), "_pid")
+    out = (
+        withpid.repartition(n_part, "_pid")
+        .join(F.broadcast(off_df), "_pid")
         .withColumn(id_col, F.col("_off") + F.row_number().over(w) - 1)
         .drop("_pid", "_off")
     )
+    return out, acc
+
+
+def assign_ids_hex(df: DataFrame, key_col: str, id_col: str,
+                   num_partitions: int | None = None) -> tuple[DataFrame, int]:
+    """Dense ids 0..n-1 in global ``key_col`` order; key must be a hex
+    digest string (uniform). Returns (df, total_rows)."""
+    n_part = num_partitions or _auto_partitions(df)
+    return _with_dense_ids(
+        df, _hex_pid(key_col, n_part), [key_col], id_col, n_part)
+
+
+def assign_ids_hashed(df: DataFrame, key_cols: list[str], id_col: str,
+                      num_partitions: int | None = None
+                      ) -> tuple[DataFrame, int]:
+    """Dense deterministic ids for arbitrary unique key tuples (order =
+    (hash-partition, key tuple), stable across runs/retries)."""
+    n_part = num_partitions or _auto_partitions(df)
+    pid = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
+                 F.lit(n_part)).cast("int")
+    return _with_dense_ids(df, pid, key_cols, id_col, n_part)

@@ -25,11 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mias_spark import blocks as blk
 from mias_spark.catalog import Catalog
-from mias_spark.ids import assign_dense_ids
-from mias_spark.tokenize import extract_meta, tokenize_docs
-from mias_spec.constants import SALT_DF_THRESHOLD, SALT_DOC_RANGE
+from mias_spark.ids import assign_ids_hashed, assign_ids_hex
+from mias_spark.tokenize import tokenize_docs, with_meta
 
 
 # ------------------------------------------------------------------ rebuild
@@ -39,7 +37,7 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
     tokens table, preserving existing term_ids (new terms appended)."""
     toks = cat.read("tokens")
 
-    norms = toks.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
+    norms = toks.groupBy("doc_id", "field").agg(F.first("dl").alias("dl"))
     cat.write(norms, "doc_norms")
     stats = (cat.read("doc_norms").groupBy("field")
              .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -56,9 +54,8 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
     new_terms = joined.where(F.col("term_id").isNull()).drop("term_id")
     next_id = (old.agg(F.max("term_id")).collect()[0][0] or -1) + 1
     if new_terms.limit(1).count():
-        new_ids = assign_dense_ids(
-            new_terms, ["field", "term"], "term_id",
-            cat.path("_staging_terms_delta"))
+        new_ids, _n = assign_ids_hashed(new_terms, ["field", "term"],
+                                        "term_id")
         new_ids = new_ids.withColumn("term_id", F.col("term_id") + next_id)
         dic = kept.unionByName(new_ids)
     else:
@@ -77,7 +74,6 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
         "field string, n_docs long, avgdl double")
     posts = (
         toks.join(cat.read("dictionary"), ["field", "term"])
-        .join(cat.read("doc_norms"), ["doc_id", "field"])
         .join(F.broadcast(stats_df), "field")
         .withColumn("idf", F.log(
             F.lit(1.0)
@@ -86,7 +82,8 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
                 "idf", "avgdl", "positions",
                 F.pmod("term_id", F.lit(n_buckets)).cast("int").alias("bucket"))
     )
-    (posts.repartition(max(n_buckets, 1), "bucket")
+    n_out = max(n_buckets, 2 * spark.sparkContext.defaultParallelism)
+    (posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
           .sortWithinPartitions("term_id", "doc_id")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(cat.path("_postings_new")))
@@ -94,27 +91,12 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
     shutil.move(cat.path("_postings_new"), cat.path("postings"))
     cat.commit_table("postings", rows=cat.read("postings").count())
 
-    posts = cat.read("postings")
+    from mias_spark.build import build_blocks
     m = cat.manifest()
     m["checkpoints"] = {k: v for k, v in m["checkpoints"].items()
                         if not k.startswith("blocks/")}
     cat._save(m)
-    for b in range(n_buckets):
-        ts = time.time()
-        sub = (posts.where(F.col("bucket") == b)
-               .withColumn("salt", F.when(
-                   F.col("df") > SALT_DF_THRESHOLD,
-                   (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
-               .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
-                       "idf", "avgdl"))
-        packed = (sub.repartition(
-            max(spark.sparkContext.defaultParallelism // 4, 1),
-            "term_id", "salt")
-            .sortWithinPartitions("term_id", "salt", "doc_id")
-            .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA))
-        packed.write.mode("overwrite").parquet(cat.path(f"blocks/bucket={b}"))
-        cat.checkpoint("blocks", f"bucket={b}", rows=-1,
-                       t_start=ts, t_end=time.time())
+    build_blocks(spark, cat, n_buckets)
     cat.commit_table("blocks")
 
 
@@ -136,12 +118,10 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     n_replaced = replaced.count()
     next_doc = (store.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
 
-    new_docs = assign_dense_ids(
-        keyed, ["doc_key"], "doc_id", cat.path("_staging_docs_delta"))
+    new_docs, _n = assign_ids_hex(keyed, "doc_key", "doc_id")
     new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + next_doc)
-    meta = extract_meta(new_docs)
-    new_store = (new_docs.join(meta, "doc_id")
-                 .withColumn("id", F.coalesce("arxiv_id", "doc_key")))
+    new_store = with_meta(new_docs).withColumn(
+        "id", F.coalesce("arxiv_id", "doc_key"))
 
     # delete-then-add: drop replaced rows, append new ones
     live_store = store.join(replaced.select("doc_id"), "doc_id", "leftanti")
@@ -192,6 +172,79 @@ def _swap_write(cat: Catalog, df: DataFrame, table: str) -> None:
     df.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(cat.path(table), ignore_errors=True)
     shutil.move(tmp, cat.path(table))
+
+
+# ------------------------------------------------------------------ optimize
+
+def optimize(spark: SparkSession, index_dir: str) -> dict:
+    """S8 optimize / force-merge analog (Indexing.java:167-179; Iceberg
+    rewrite_data_files analog): compact each table to one file per
+    bucket/partition-worth of data, preserving sort order inside the
+    postings and blocks buckets."""
+    cat = Catalog(spark, index_dir)
+    n_buckets = cat.props()["n_buckets"]
+    compacted = {}
+    for table, keys in (("postings", ["term_id", "doc_id"]),
+                        ("blocks", ["term_id", "salt", "block_ord"])):
+        df = cat.read(table)
+        (df.repartition(n_buckets, "bucket")
+           .sortWithinPartitions(*keys)
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(cat.path(f"_{table}_opt")))
+        import shutil
+        shutil.rmtree(cat.path(table), ignore_errors=True)
+        shutil.move(cat.path(f"_{table}_opt"), cat.path(table))
+        cat.commit_table(table, compacted=True)
+        compacted[table] = n_buckets
+    for table in ("doc_store", "tokens", "dictionary", "doc_norms"):
+        df = cat.read(table)
+        n = max(df.rdd.getNumPartitions() // 4, 1)
+        _swap_write(cat, df.coalesce(n), table)
+        cat.commit_table(table, compacted=True)
+        compacted[table] = n
+    cat.metric("optimize", **compacted)
+    return compacted
+
+
+# -------------------------------------------------------- formula documents
+
+def explode_formula_docs(corpus: DataFrame) -> DataFrame:
+    """P7 FORMULA_DOCUMENTS granularity (Settings.java:168-175,
+    MIasDocumentFactory.java:28-31, FormulaDocument.java:46-84): one
+    corpus row per <math> element. The id becomes ``path#fN``
+    (fileId#formulaId), the title is the id, and the content is a
+    minimal XHTML wrapper holding that single formula — the result is
+    corpus-shaped, so ``build_index`` consumes it unchanged (a
+    formula-granularity index is just a different corpus view)."""
+    import xml.etree.ElementTree as ET
+
+    from mias_spec.document import _is_markup
+    from mias_spec.mathml import extract_math_elements
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for repo, path, commit, lang, content in zip(
+                    pdf["repo"], pdf["path"], pdf["commit"],
+                    pdf["lang"], pdf["content"]):
+                if not content or not _is_markup(content, lang):
+                    continue
+                for i, el in enumerate(extract_math_elements(content)):
+                    fid = f"{path}#f{i + 1}"   # setFormulaPosition(i+1)
+                    xml = ET.tostring(el, encoding="unicode")
+                    doc = ('<?xml version="1.0"?>'
+                           '<html xmlns="http://www.w3.org/1999/xhtml">'
+                           f"<head><title>{fid}</title></head>"
+                           f"<body>{xml}</body></html>")
+                    rows.append((repo, fid, commit, "xhtml", doc))
+            yield pd.DataFrame(rows, columns=[
+                "repo", "path", "commit", "lang", "content"])
+
+    return corpus.select(
+        "repo", "path", "commit", "lang", "content").mapInPandas(fn, schema)
 
 
 # ------------------------------------------------------------------ annotate

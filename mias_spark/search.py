@@ -56,14 +56,15 @@ class Engine:
     # ------------------------------------------------------------- compile
     def compile(self, query_text: str, variant: str = "BOTH",
                 extract_subformulae: bool = True,
-                reduce_weighting: bool = True) -> tuple[pd.DataFrame, int, str]:
+                reduce_weighting: bool = True):
         """Clause table joined with dictionary: one row per query clause
-        present in the index."""
+        present in the index. Returns (clauses_df, n_groups,
+        processed_query_string, compiled_query)."""
         q = compile_query(query_text, variant, extract_subformulae,
                           reduce_weighting)
         if not q.clauses:
             return pd.DataFrame(columns=[
-                "term_id", "grp", "boost", "idf", "avgdl", "bucket"]), 0, ""
+                "term_id", "grp", "boost", "idf", "avgdl", "bucket"]), 0, "", q
         pairs = sorted({(c.fld, c.term) for c in q.clauses})
         dic = self.cat.read("dictionary")
         cond = F.concat_ws("\x00", "field", "term").isin(
@@ -84,14 +85,15 @@ class Engine:
             "term_id", "grp", "boost", "idf", "avgdl", "bucket"])
         processed = " ".join(
             f"g{c.group}:{c.fld}:{c.term}^{c.boost:.3g}" for c in q.clauses)
-        return clauses, q.n_groups, processed
+        return clauses, q.n_groups, processed, q
 
     # -------------------------------------------------------------- search
     def search(self, query_text: str, k: int = 10, offset: int = 0,
                variant: str = "BOTH", extract_subformulae: bool = True,
                reduce_weighting: bool = True, mode: str = "df",
-               with_fields: bool = True) -> SearchResult:
-        clauses, n_groups, processed = self.compile(
+               with_fields: bool = True, snippets: bool = False,
+               debug: bool = False) -> SearchResult:
+        clauses, n_groups, processed, q = self.compile(
             query_text, variant, extract_subformulae, reduce_weighting)
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
         if clauses.empty:
@@ -110,14 +112,75 @@ class Engine:
             top = self._topk_blocks(clauses, k + offset, n_groups)
         hits = top.toPandas().iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
-        if with_fields and len(hits):
+        if (with_fields or snippets) and len(hits):
             ids = [int(d) for d in hits["doc_id"]]
+            cols = ["doc_id", "id", "repo", "path", "title"]
+            if snippets:
+                cols += ["content", "lang"]
             disp = (self.cat.read("doc_store")
                     .where(F.col("doc_id").isin(ids))
-                    .select("doc_id", "id", "repo", "path", "title")
+                    .select(*cols)
                     .toPandas())
             hits = hits.merge(disp, on="doc_id", how="left")
+            if snippets:
+                # Q11: driver-side post-processing over the k result
+                # docs only (the reference's snippet thread pool analog,
+                # Searching.java:314-399)
+                from mias_spec.snippets import make_snippet
+                text_terms = sorted({c.term for c in q.clauses
+                                     if c.fld in ("content", "title")})
+                mterms = {c.term for c in q.clauses
+                          if c.fld in ("pmath", "cmath")}
+                hits["snippet"] = [
+                    make_snippet(ct, lg, text_terms, mterms)
+                    for ct, lg in zip(hits["content"], hits["lang"])]
+                hits = hits.drop(columns=["content", "lang"])
+        if debug and len(hits):
+            hits["explain"] = self._explain(clauses, hits, n_groups)
         return SearchResult(hits, n_groups, len(clauses), processed)
+
+    # -------------------------------------------------------------- explain
+    def _explain(self, clauses: pd.DataFrame, hits: pd.DataFrame,
+                 n_groups: int) -> list[str]:
+        """Q12 per-hit score breakdown (Searching.java:328-330): one
+        line per matched clause with the BM25 components, recomputed
+        from postings for the k hit docs only."""
+        ids = [int(d) for d in hits["doc_id"]]
+        posts = (
+            self.cat.read("postings")
+            .where(F.col("bucket").isin([int(b) for b in
+                                         set(clauses["bucket"])]))
+            .where(F.col("term_id").isin([int(t) for t in
+                                          set(clauses["term_id"])]))
+            .where(F.col("doc_id").isin(ids))
+            .select("term_id", "doc_id", "tf", "wsum", "dl")
+            .toPandas())
+        dic = {int(r["term_id"]): (r["field"], r["term"]) for r in
+               self.cat.read("dictionary")
+               .where(F.col("term_id").isin([int(t) for t in
+                                             set(clauses["term_id"])]))
+               .collect()}
+        out = []
+        for d in ids:
+            sub = posts[posts["doc_id"] == d]
+            lines = []
+            for c in clauses.itertuples():
+                p = sub[sub["term_id"] == c.term_id]
+                if p.empty:
+                    continue
+                tf, wsum, dl = (float(p["tf"].iloc[0]),
+                                float(p["wsum"].iloc[0]),
+                                float(p["dl"].iloc[0]))
+                fld, term = dic[int(c.term_id)]
+                s = (c.boost * (wsum / tf) * c.idf * tf * (BM25_K1 + 1.0)
+                     / (tf + BM25_K1 * (1.0 - BM25_B
+                                        + BM25_B * dl / c.avgdl)))
+                lines.append(
+                    f"g{c.grp}:{fld}:{term} boost={c.boost:.4g} "
+                    f"idf={c.idf:.4g} tf={tf:.0f} dl={dl:.0f} "
+                    f"avg_w={wsum / tf:.4g} score={s:.6g}")
+            out.append("; ".join(lines))
+        return out
 
     # ---------------------------------------------------- DataFrame scorer
     def _score_dataframe(self, clauses: pd.DataFrame) -> DataFrame:

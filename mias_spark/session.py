@@ -26,6 +26,10 @@ def get_spark(app: str = "mias_spark", cpus: str | None = None,
         .config("spark.driver.memory", os.environ.get("MIAS_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # small open-cost so scans of few mid-size files still split into
+        # >= one task per core (default 4 MiB under-parallelizes the
+        # Arrow-UDF tokenize stage on compact corpora)
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

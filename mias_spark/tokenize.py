@@ -19,11 +19,11 @@ from mias_spec.document import content_sha256, tokenize_document
 
 TOKENS_SCHEMA = (
     "doc_id long, field string, term string, tf int, "
-    "positions array<int>, wsum double, wmax double"
+    "positions array<int>, wsum double, wmax double, dl long"
 )
 
-META_SCHEMA = (
-    "doc_id long, title string, arxiv_id string, authors string, "
+META_FIELDS = (
+    "title string, arxiv_id string, authors string, "
     "n_formulae int, content_sha256 string, filesize long"
 )
 
@@ -35,13 +35,15 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "field": [], "term": [], "tf": [],
-                "positions": [], "wsum": [], "wmax": [],
+                "positions": [], "wsum": [], "wmax": [], "dl": [],
             }
             for doc_id, content, lang in zip(
                     pdf["doc_id"], pdf["content"], pdf["lang"]):
                 d = tokenize_document(content, lang)
                 agg: dict[tuple, list] = {}
+                dls: dict[str, int] = {}
                 for fld, term, pos, w in d.tokens:
+                    dls[fld] = dls.get(fld, 0) + 1  # B5: count EVERY variant
                     a = agg.get((fld, term))
                     if a is None:
                         agg[(fld, term)] = [1, [pos], w, w]
@@ -58,22 +60,27 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
                     out["positions"].append(poss)
                     out["wsum"].append(ws)
                     out["wmax"].append(wm)
+                    out["dl"].append(dls[fld])
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "content", "lang").mapInPandas(fn, TOKENS_SCHEMA)
 
 
-def extract_meta(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, content, lang) -> stored display/invariant fields
-    (title chain, arXiv id override, authors — HtmlDocumentExtractor
-    .java:60-132 — plus the content sha256 ingest invariant)."""
+def with_meta(docs: DataFrame) -> DataFrame:
+    """Append stored display/invariant columns (title chain, arXiv id
+    override, authors — HtmlDocumentExtractor.java:60-132 — plus the
+    content sha256 ingest invariant) in ONE passthrough mapInPandas:
+    no meta join, so ingest never shuffles full document content."""
     from mias_spec.document import _extract_html_fields, _is_markup
+
+    in_cols = docs.columns
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in docs.schema.fields) + ", " + META_FIELDS
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, content, lang in zip(
-                    pdf["doc_id"], pdf["content"], pdf["lang"]):
+            metas = []
+            for content, lang in zip(pdf["content"], pdf["lang"]):
                 content = content or ""
                 if _is_markup(content, lang):
                     title, _body, arxiv, authors, maths = \
@@ -81,10 +88,12 @@ def extract_meta(docs: DataFrame) -> DataFrame:
                     nf = len(maths)
                 else:
                     title, arxiv, authors, nf = "", None, None, 0
-                rows.append((doc_id, title, arxiv, authors, nf,
-                             content_sha256(content), len(content.encode())))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "title", "arxiv_id", "authors", "n_formulae",
+                metas.append((title, arxiv, authors, nf,
+                              content_sha256(content), len(content.encode())))
+            mdf = pd.DataFrame(metas, columns=[
+                "title", "arxiv_id", "authors", "n_formulae",
                 "content_sha256", "filesize"])
+            yield pd.concat(
+                [pdf[in_cols].reset_index(drop=True), mdf], axis=1)
 
-    return docs.select("doc_id", "content", "lang").mapInPandas(fn, META_SCHEMA)
+    return docs.mapInPandas(fn, schema)

@@ -121,7 +121,7 @@ def _sentences(i: int) -> str:
     return " ".join(parts)
 
 
-def _xhtml(i: int) -> str:
+def _xhtml(i: int, density: int = 1) -> str:
     fam = i % 37
     title_words = [VOCAB[_h(i, "tw", j) % len(VOCAB)] for j in range(3)]
     if i % 13 == 0:
@@ -134,16 +134,20 @@ def _xhtml(i: int) -> str:
         maths.append(render_math(EXACT_AST))
     elif fam == 1:
         maths.append(render_math(fuzzy_ast(i)))
-    n_extra = 1 + _h(i, "nm") % 4
+    n_extra = (1 + _h(i, "nm") % 4) * density
     for s in range(n_extra):
         maths.append(render_math(random_ast(i, s + 1)))
     meta = ""
     if i % 5 == 0:
         meta = (f'<meta name="citation_arxiv_id" content="2401.{i:05d}"/>'
                 f'<meta name="citation_authors" content="Author {i % 17}"/>')
+    segs = body.split(". ")
     body_html = "".join(
-        f"<p>{seg} {m}</p>" for seg, m in
-        zip(body.split(". "), maths + [""] * 8))
+        f"<p>{seg} {m}</p>" for seg, m in zip(segs, maths + [""] * 8))
+    if density > 1 and len(maths) > len(segs):
+        # math-dense mode (arXiv-like: reference README.md:111-115 is
+        # ~400 formulae/doc) — keep the formulae the zip would drop
+        body_html += "".join(f"<p>{m}</p>" for m in maths[len(segs):])
     return ('<?xml version="1.0"?>'
             '<html xmlns="http://www.w3.org/1999/xhtml">'
             f"<head><title>{' '.join(title_words)}</title>{meta}</head>"
@@ -166,13 +170,15 @@ def _python(i: int) -> str:
             f"    return total\n")
 
 
-def make_corpus(n_rows: int) -> pd.DataFrame:
-    """The deterministic corpus table (FIXTURES.md §1)."""
+def make_corpus(n_rows: int, density: int = 1) -> pd.DataFrame:
+    """The deterministic corpus table (FIXTURES.md §1). ``density``
+    multiplies the per-document formula count (benchmark knob; the
+    default is byte-identical to the golden-file corpus)."""
     rows = []
     for i in range(n_rows):
         sel = i % 10
         if sel < 5:
-            ext, lang, content = "xhtml", "xhtml", _xhtml(i)
+            ext, lang, content = "xhtml", "xhtml", _xhtml(i, density)
         elif sel < 8:
             ext, lang, content = "md", "markdown", _markdown(i)
         else:

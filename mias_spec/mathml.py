@@ -48,6 +48,10 @@ from mias_spec.constants import (
 
 Node = tuple  # (tag: str, text: str | None, children: tuple[Node, ...])
 
+MATHML_NS = "http://www.w3.org/1998/Math/MathML"
+# serialize extracted fragments as default-namespace <math>, not ns0:
+ET.register_namespace("", MATHML_NS)
+
 _MATH_RE = re.compile(r"<math\b.*?</math\s*>", re.DOTALL)
 _WS_RE = re.compile(r"\s+")
 

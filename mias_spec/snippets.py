@@ -1,0 +1,112 @@
+"""Snippet extraction — the NiceSnippetExtractor analog.
+
+Reference behavior (search/snippets/NiceSnippetExtractor.java:49-305,
+Searching.java:314-399): for each result document locate the best math
+spans ranked by payload weight (Span.compareTo orders by payload desc,
+Span.java:70-74; 2 spans kept), highlight the `<math>…</math>` fragment,
+plus up to ~4 text-term fragments with sentence-bounded context and
+overlap dedupe.
+
+Pure spec functions — the engine calls them driver-side over the k
+result documents only (snippets are a post-processing stage in the
+reference too: a thread pool over the result page).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+from mias_spec import mathml
+from mias_spec.document import _extract_html_fields, _is_markup
+
+MAX_TEXT_FRAGMENTS = 4
+MAX_MATH_FRAGMENTS = 2
+CONTEXT_CHARS = 90          # half-window around a hit, sentence-bounded
+MAX_MATH_CHARS = 400        # truncation of a highlighted math fragment
+_SENT_BOUND = re.compile(r"[.!?]")
+
+
+def _sentence_window(text: str, lo: int, hi: int) -> tuple[int, int]:
+    """Expand [lo, hi) to sentence bounds, capped at CONTEXT_CHARS on
+    each side (sentence-bounded surround, NiceSnippetExtractor
+    .java:275-305)."""
+    start = max(0, lo - CONTEXT_CHARS)
+    m = list(_SENT_BOUND.finditer(text, start, lo))
+    if m:
+        start = m[-1].end()
+    end = min(len(text), hi + CONTEXT_CHARS)
+    m2 = _SENT_BOUND.search(text, hi, end)
+    if m2:
+        end = m2.end()
+    return start, end
+
+
+def text_fragments(body: str, terms: list[str],
+                   max_fragments: int = MAX_TEXT_FRAGMENTS) -> list[str]:
+    """First occurrence of each distinct query term, sentence-bounded,
+    all query terms highlighted with <b>, overlapping windows merged."""
+    spans: list[tuple[int, int]] = []
+    for t in dict.fromkeys(x.lower() for x in terms if x):
+        m = re.search(rf"\b{re.escape(t)}\b", body, re.IGNORECASE)
+        if not m:
+            continue
+        spans.append(_sentence_window(body, m.start(), m.end()))
+        if len(spans) >= max_fragments:
+            break
+    spans.sort()
+    merged: list[list[int]] = []
+    for lo, hi in spans:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    hi_re = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in
+                          dict.fromkeys(x.lower() for x in terms if x))
+        + r")\b", re.IGNORECASE) if terms else None
+    out = []
+    for lo, hi in merged:
+        frag = body[lo:hi].strip()
+        if hi_re is not None:
+            frag = hi_re.sub(r"<b>\1</b>", frag)
+        if frag:
+            out.append(frag)
+    return out
+
+
+def math_fragments(maths: list[ET.Element], query_mterms: set[str],
+                   max_fragments: int = MAX_MATH_FRAGMENTS) -> list[str]:
+    """Best math spans: each <math> element scored by the MAX weight of
+    one of its M-terms matching the query (the payload-desc span order);
+    top elements serialized back as highlighted fragments."""
+    scored: list[tuple[float, int, str]] = []
+    for i, el in enumerate(maths):
+        best = 0.0
+        for variant in ("P", "C"):
+            branch = mathml.select_branch(el, variant)
+            if branch is None:
+                continue
+            for term, w, _pos in mathml.formula_mterms(branch):
+                if term in query_mterms and w > best:
+                    best = w
+        if best > 0.0:
+            xml = ET.tostring(el, encoding="unicode")
+            scored.append((-best, i, xml[:MAX_MATH_CHARS]))
+    scored.sort()
+    return [f'<span class="math-hit">{x}</span>'
+            for _w, _i, x in scored[:max_fragments]]
+
+
+def make_snippet(content: str, lang: str | None, text_terms: list[str],
+                 query_mterms: set[str]) -> str:
+    """Assembled snippet for one result document: math fragments first
+    (highest payload), then text fragments, " … "-joined."""
+    content = content or ""
+    if _is_markup(content, lang):
+        _title, body, _ax, _au, maths = _extract_html_fields(content)
+    else:
+        body, maths = content, []
+    frags = math_fragments(maths, query_mterms)
+    frags += text_fragments(body, text_terms)
+    return " … ".join(frags)

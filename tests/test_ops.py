@@ -81,3 +81,63 @@ def test_annotate(spark):
     # every xhtml doc with formulae got annotations
     n_math_docs = (c["lang"] == "xhtml").sum()
     assert ann["doc_id"].nunique() == n_math_docs
+
+
+def test_formula_documents(spark, tiny_build):
+    """P7 FORMULA_DOCUMENTS granularity: one corpus row per <math>
+    element, id = path#fN, content wraps exactly that formula."""
+    from mias_spark.ops import explode_formula_docs
+    from mias_spec import corpus as C
+    c = spark.createDataFrame(C.make_corpus(60))
+    fd = explode_formula_docs(c).toPandas()
+    # every xhtml doc contributed each of its <math> elements
+    import re
+    exp = sum(len(re.findall(r"<math\b", r.content))
+              for r in C.make_corpus(60).itertuples())
+    assert len(fd) == exp
+    assert all("#f" in p for p in fd["path"])
+    assert all(r.count("<math") == 1 for r in fd["content"])
+
+
+def test_formula_doc_index_and_search(spark, tmp_path):
+    """A formula-granularity index finds the exact-formula doc as the
+    top hit for the exact math query."""
+    from mias_spark.build import build_index
+    from mias_spark.ops import explode_formula_docs
+    from mias_spark.search import Engine
+    from mias_spec.corpus import EXACT_AST, make_corpus, render_math
+    c = spark.createDataFrame(make_corpus(80))
+    fd = explode_formula_docs(c)
+    ix = str(tmp_path / "ixf")
+    build_index(spark, fd, ix, n_buckets=2)
+    eng = Engine(spark, ix)
+    res = eng.search(render_math(EXACT_AST), k=5, with_fields=True)
+    assert len(res.hits) > 0
+    # top hit is a formula-doc from an exact-family parent (i % 37 == 0)
+    top_path = res.hits["path"].iloc[0]
+    base = top_path.split("#f")[0]
+    parents = {r.path: i for i, r in enumerate(make_corpus(80).itertuples())}
+    assert parents[base] % 37 == 0
+
+
+def test_search_snippets_and_explain(spark, tiny_build):
+    """Q11 snippets (math fragment highlighted, text terms bolded) and
+    Q12 explain (per-clause BM25 breakdown)."""
+    from mias_spark.search import Engine
+    from mias_spec.corpus import EXACT_AST, render_math
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    q = "einstein " + render_math(EXACT_AST)
+    res = eng.search(q, k=5, snippets=True, debug=True)
+    assert len(res.hits) > 0
+    snips = list(res.hits["snippet"])
+    # every hit matched a math term -> a highlighted math fragment
+    assert any("math-hit" in s for s in snips)
+    # at least one hit matched einstein in the BODY (title-only matches
+    # legitimately yield no text fragment)
+    assert any("<b>einstein</b>" in s for s in snips)
+    exps = list(res.hits["explain"])
+    assert all("idf=" in e and "tf=" in e for e in exps)
+    # explain covers both the text group and a math group clause
+    assert any("einstein" in e for e in exps)
+    assert any("pmath:" in e or "cmath:" in e for e in exps)

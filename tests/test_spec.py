@@ -212,3 +212,54 @@ def test_bm25_reference_value():
     # frozen spot value so the formula can never silently change
     assert scoring.bm25(tf=2, df=5, dl=20, n_docs=100, avgdl=25) == \
         pytest.approx(scoring.idf(100, 5) * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 0.8)))
+
+
+def test_snippets_pure():
+    """Snippet spec: sentence-bounded text fragments with highlighting;
+    math fragments ranked by matched M-term weight."""
+    from mias_spec import mathml
+    from mias_spec.corpus import EXACT_AST, render_math
+    from mias_spec.snippets import make_snippet, text_fragments
+    body = ("Alpha beta gamma. The energy of the system rises. "
+            "Unrelated tail sentence here.")
+    frags = text_fragments(body, ["energy"])
+    assert len(frags) == 1
+    assert "<b>energy</b>" in frags[0]
+    assert "Alpha" not in frags[0]          # sentence-bounded
+    # full snippet over an xhtml doc with the exact formula
+    doc = ('<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">'
+           "<head><title>t</title></head><body><p>energy rises "
+           + render_math(EXACT_AST) + "</p></body></html>")
+    el = mathml.extract_math_elements(doc)[0]
+    branch = mathml.select_branch(el, "P")
+    mterms = {t for t, _w, _p in mathml.formula_mterms(branch)}
+    s = make_snippet(doc, "xhtml", ["energy"], mterms)
+    assert "math-hit" in s and "<b>energy</b>" in s
+
+
+def test_corpus_density_default_unchanged():
+    """density=1 must stay byte-identical (golden-file contract)."""
+    from mias_spec.corpus import make_corpus
+    a = make_corpus(50)
+    b = make_corpus(50, density=1)
+    assert (a["content"] == b["content"]).all()
+    dense = make_corpus(50, density=8)
+    assert dense["content"].str.len().sum() > a["content"].str.len().sum() * 3
+
+
+def test_properties_config_load(tmp_path):
+    """mias.properties parsing (Settings.java:96-175 surface)."""
+    from mias_spark.config import MiasConfig
+    p = tmp_path / "mias.properties"
+    p.write_text(
+        "# comment\nINDEXDIR=/tmp/myix\nUPDATE=false\nMAXRESULTS=500\n"
+        "DOCLIMIT=100\nTHREADS=4\nFORMULA_DOCUMENTS=true\n")
+    c = MiasConfig.load(str(p))
+    assert c.index_dir == "/tmp/myix"
+    assert c.update is False
+    assert c.max_results == 500
+    assert c.doc_limit == 100
+    assert c.threads == 4 and c.spark_cpus() == "4"
+    assert c.formula_docs is True
+    d = MiasConfig()
+    assert d.max_results == 1000 and d.doc_limit is None
