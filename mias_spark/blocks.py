@@ -43,9 +43,74 @@ BLOCKS_SCHEMA = (
 )
 
 
-def _bm25_vec(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+def _bm25_vec(tf: np.ndarray, dl: np.ndarray, idf, avgdl) -> np.ndarray:
+    """idf/avgdl may be scalars or per-row arrays."""
     return idf * tf * (BM25_K1 + 1.0) / (
-        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9)))
+        tf + BM25_K1 * (1.0 - BM25_B
+                        + BM25_B * dl / np.maximum(avgdl, 1e-9)))
+
+
+_COLS = ["term_id", "salt", "block_ord", "n_docs", "first_doc",
+         "last_doc", "max_score", "doc_bytes", "tf_bytes", "dl_bytes",
+         "w_bytes"]
+
+
+def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Pack a (term_id, salt, doc_id)-sorted frame into block rows —
+    fully vectorized: group/block boundaries via numpy masks, block-max
+    via maximum.reduceat, ONE varint encode per column per frame with
+    byte-offset slicing (codec.encode_varints_split). No per-group
+    Python loop — the per-block cost is what bounds pack throughput at
+    10^9-term scale."""
+    term = g["term_id"].to_numpy(np.int64)
+    salt = g["salt"].to_numpy(np.int64)
+    docs = g["doc_id"].to_numpy(np.int64)
+    tfs = g["tf"].to_numpy(np.int64)
+    dls = g["dl"].to_numpy(np.int64)
+    ws = g["wsum"].to_numpy(np.float64)
+    idf = g["idf"].to_numpy(np.float64)
+    avgdl = g["avgdl"].to_numpy(np.float64)
+    n = len(term)
+
+    newgrp = np.empty(n, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    gstart = np.flatnonzero(newgrp)
+    glen = np.diff(np.append(gstart, n))
+    gidx = np.arange(n) - np.repeat(gstart, glen)   # index within group
+    bmask = (gidx % BLOCK_SIZE) == 0
+    bstart = np.flatnonzero(bmask)
+    bend = np.append(bstart[1:], n)
+    bpg = -(-glen // BLOCK_SIZE)                    # blocks per group
+    first_block = np.cumsum(bpg) - bpg
+    block_ord = np.arange(len(bstart)) - np.repeat(first_block, bpg)
+
+    tf_f = tfs.astype(np.float64)
+    scores = _bm25_vec(tf_f, dls.astype(np.float64), idf, avgdl) * (ws / tf_f)
+    max_score = np.maximum.reduceat(scores, bstart)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = docs[0]
+    gaps[1:] = docs[1:] - docs[:-1]
+    gaps[bstart] = docs[bstart]     # absolute doc id at each block start
+    inner = np.ones(n, dtype=bool)
+    inner[bstart] = False
+    assert (gaps[inner] > 0).all(), "doc ids must increase within block"
+
+    doc_bytes = codec.encode_varints_split(gaps.astype(np.uint64), bstart)
+    tf_bytes = codec.encode_varints_split(tfs.astype(np.uint64), bstart)
+    dl_bytes = codec.encode_varints_split(dls.astype(np.uint64), bstart)
+    w_all = ws.astype("<f8").tobytes()
+    w_bytes = [w_all[8 * s:8 * e] for s, e in zip(bstart, bend)]
+
+    return pd.DataFrame({
+        "term_id": term[bstart], "salt": salt[bstart].astype(np.int32),
+        "block_ord": block_ord.astype(np.int32),
+        "n_docs": (bend - bstart).astype(np.int32),
+        "first_doc": docs[bstart], "last_doc": docs[bend - 1],
+        "max_score": max_score, "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes, "dl_bytes": dl_bytes, "w_bytes": w_bytes,
+    }, columns=_COLS)
 
 
 def pack_sorted_partition(
@@ -58,35 +123,6 @@ def pack_sorted_partition(
     at 10^12 scale). Emits packed blocks. Arrow batches may split a
     term's run, so runs are carried across batch boundaries."""
     carry: pd.DataFrame | None = None
-
-    def pack_group(g: pd.DataFrame) -> list[tuple]:
-        tid = int(g["term_id"].iloc[0])
-        salt = int(g["salt"].iloc[0])
-        docs = g["doc_id"].to_numpy(np.int64)
-        tfs = g["tf"].to_numpy(np.int64)
-        dls = g["dl"].to_numpy(np.int64)
-        ws = g["wsum"].to_numpy(np.float64)
-        idf = float(g["idf"].iloc[0])
-        avgdl = float(g["avgdl"].iloc[0])
-        rows = []
-        for b, lo in enumerate(range(0, len(docs), BLOCK_SIZE)):
-            hi = min(lo + BLOCK_SIZE, len(docs))
-            d, t, n, w = docs[lo:hi], tfs[lo:hi], dls[lo:hi], ws[lo:hi]
-            scores = _bm25_vec(t.astype(np.float64), n.astype(np.float64),
-                               idf, avgdl) * (w / t)
-            rows.append((
-                tid, salt, b, hi - lo, int(d[0]), int(d[-1]),
-                float(scores.max()) if len(scores) else 0.0,
-                codec.encode_doc_ids(d),
-                codec.encode_varints(t.astype(np.uint64)),
-                codec.encode_varints(n.astype(np.uint64)),
-                w.astype("<f8").tobytes(),
-            ))
-        return rows
-
-    cols = ["term_id", "salt", "block_ord", "n_docs", "first_doc",
-            "last_doc", "max_score", "doc_bytes", "tf_bytes", "dl_bytes",
-            "w_bytes"]
     for pdf in batches:
         if carry is not None:
             pdf = pd.concat([carry, pdf], ignore_index=True)
@@ -98,16 +134,10 @@ def pack_sorted_partition(
         tail = (pdf["term_id"] == last_tid) & (pdf["salt"] == last_salt)
         carry = pdf[tail]
         head = pdf[~tail]
-        out = []
-        for _, g in head.groupby(["term_id", "salt"], sort=True):
-            out.extend(pack_group(g))
-        if out:
-            yield pd.DataFrame(out, columns=cols)
+        if len(head):
+            yield _pack_frame(head)
     if carry is not None and not carry.empty:
-        out = []
-        for _, g in carry.groupby(["term_id", "salt"], sort=True):
-            out.extend(pack_group(g))
-        yield pd.DataFrame(out, columns=cols)
+        yield _pack_frame(carry)
 
 
 def unpack_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -26,20 +26,50 @@ def quantize_weights(w: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ varint
 
+def _encode_varints_raw(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_buffer, per_value_byte_lengths) for a uint64 array.
+    Vectorized: one numpy pass per byte position, <=10 passes total."""
+    nbytes = np.ones(vals.shape, dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp != 0
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        byte = ((vals[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)) \
+            .astype(np.uint8)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8)
+        out[idx] = byte | (cont << 7)
+    return out, nbytes
+
+
 def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+    """LEB128-encode a uint64 array (vectorized, no per-value loop)."""
     vals = np.asarray(values, dtype=np.uint64)
-    out = bytearray()
-    for v in vals.tolist():
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    if vals.size == 0:
+        return b""
+    out, _nbytes = _encode_varints_raw(vals)
+    return out.tobytes()
+
+
+def encode_varints_split(values: np.ndarray,
+                         starts: np.ndarray) -> list[bytes]:
+    """Encode ONE array, sliced back into per-block byte strings at the
+    value indices ``starts`` (block boundaries). One vectorized encode
+    for a whole partition instead of one Python call per block."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return []
+    out, nbytes = _encode_varints_raw(vals)
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    cuts = offs[np.asarray(starts, dtype=np.int64)]
+    bounds = np.append(cuts, offs[-1])
+    buf = out.tobytes()
+    return [buf[bounds[i]:bounds[i + 1]] for i in range(len(starts))]
 
 
 def decode_varints(buf: bytes, n: int) -> np.ndarray:
