@@ -80,12 +80,22 @@ def _math_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(res.hits)
 
 
+def _math_formula_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: FORMULA_DOCUMENTS granularity (P7) — one row per
+    <math> element over the synthesized corpus."""
+    from mias_spark.ops import explode_formula_docs
+    from mias_spec.corpus import make_corpus
+
+    return explode_formula_docs(spark.createDataFrame(make_corpus(200)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
     }
     out["math_mterm_annotate"] = _math_mterms
     out["math_search_topk"] = _math_search_topk
+    out["math_formula_docs"] = _math_formula_docs
     return out
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from mias_spark import blocks as blk
 from mias_spark.catalog import Catalog
 from mias_spark.ids import assign_ids_hashed, assign_ids_hex
+from mias_spark.parallel import ensure_udf_parallelism, udf_partitions
 from mias_spark.tokenize import tokenize_docs, with_meta
 from mias_spec.constants import SALT_DF_THRESHOLD, SALT_DOC_RANGE
 
@@ -64,9 +65,13 @@ def build_index(
             src = src.limit(doc_limit)
         keyed = src.withColumn(
             "doc_key", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
+        # width from the SCAN's byte stats (join plans mis-estimate)
+        width = udf_partitions(keyed)
         docs, n = assign_ids_hex(keyed, "doc_key", "doc_id")
-        # meta computed inline (single pass, no join — content is never
-        # shuffled); arXiv id override (HtmlDocument.java:31-36)
+        if docs.rdd.getNumPartitions() < width:
+            docs = docs.repartition(width)
+        # meta computed inline in the same pass as the store write;
+        # arXiv id override (HtmlDocument.java:31-36)
         store = with_meta(docs).withColumn(
             "id", F.coalesce("arxiv_id", "doc_key"))
         cat.write(store, "doc_store")
@@ -77,15 +82,8 @@ def build_index(
     if not cat.table_done("tokens"):
         ts = time.time()
         docs = cat.read("doc_store").select("doc_id", "content", "lang")
-        # UDF-compute-bound stage: the ingest's write width (1x-4x cores,
-        # ids._auto_partitions) already oversubscribes large corpora so
-        # cores stay busy through JVM<->Arrow pipeline stalls (measured
-        # ~55% duty cycle at 1 task/core); only rescue under-parallel
-        # scans here
-        par = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-        toks = tokenize_docs(docs)
+        # Arrow-UDF stage: byte-aware 4x oversubscription (parallel.py)
+        toks = tokenize_docs(ensure_udf_parallelism(docs))
         cat.write(toks, "tokens")
         cat.commit_table("tokens")
         cat.metric("tokens", secs=time.time() - ts)
@@ -163,6 +161,7 @@ def build_index(
     wall = time.time() - t0
     cat.metric("build_total", docs=n_docs, secs=wall,
                docs_per_sec=(n_docs / wall if wall > 0 else None))
+    cat.flush_meta()   # lineage/metrics/checkpoints as queryable tables
     return cat
 
 
@@ -175,6 +174,12 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
     so driver job-scheduling latency doesn't serialize the stage."""
     posts = cat.read("postings")
     chunk = chunk or max(1, n_buckets // 2)
+    n_chunks = -(-n_buckets // chunk)
+    from mias_spark.parallel import BYTES_PER_TASK, plan_size_bytes
+    par = spark.sparkContext.defaultParallelism
+    psize = plan_size_bytes(posts) or 0
+    pack_width = int(max(par, min(
+        4 * par, psize // n_chunks // BYTES_PER_TASK + 1)))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for c0 in range(0, n_buckets, chunk):
         todo = [b for b in range(c0, min(c0 + chunk, n_buckets))
@@ -191,9 +196,7 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
                     "idf", "avgdl")
         )
         packed = (
-            sub.repartition(max(spark.sparkContext.defaultParallelism,
-                                sub.rdd.getNumPartitions()),
-                            "term_id", "salt")
+            sub.repartition(pack_width, "term_id", "salt")
             .sortWithinPartitions("term_id", "salt", "doc_id")
             .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
             .withColumn("bucket",

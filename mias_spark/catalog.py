@@ -43,7 +43,7 @@ class Catalog:
                 return json.load(f)
         except FileNotFoundError:
             return {"tables": {}, "checkpoints": {}, "metrics": [],
-                    "props": {}, "snapshot": 0}
+                    "lineage": [], "props": {}, "snapshot": 0}
 
     def _save(self, m: dict[str, Any]) -> None:
         os.makedirs(self.root, exist_ok=True)
@@ -71,6 +71,9 @@ class Catalog:
         m["snapshot"] += 1
         m["tables"][table] = {"status": "done", "rows": rows,
                               "snapshot": m["snapshot"], **extra}
+        m.setdefault("lineage", []).append({
+            "snapshot": m["snapshot"], "table": table, "rows": rows,
+            "ts": time.time()})
         self._save(m)
 
     def table_done(self, table: str) -> bool:
@@ -110,3 +113,36 @@ class Catalog:
         m = self.manifest()
         m["props"].update(kv)
         self._save(m)
+
+    # ----------------------------------------------- queryable meta tables
+    def flush_meta(self) -> None:
+        """Materialize lineage / metrics / checkpoints as parquet tables
+        under ``_meta/`` (the north rule's "lineage and metrics tables"
+        as SQL-queryable surfaces, not just manifest JSON)."""
+        import pandas as pd
+        m = self.manifest()
+        frames = {
+            "lineage": pd.DataFrame(
+                m.get("lineage", []),
+                columns=["snapshot", "table", "rows", "ts"]),
+            "metrics": pd.DataFrame(
+                [{"stage": x.get("stage"), "ts": x.get("ts"),
+                  "secs": x.get("secs"), "rows": x.get("rows"),
+                  "docs_per_sec": x.get("docs_per_sec")}
+                 for x in m.get("metrics", [])],
+                columns=["stage", "ts", "secs", "rows", "docs_per_sec"]),
+            "checkpoints": pd.DataFrame(
+                [{"key": k, **v} for k, v in
+                 m.get("checkpoints", {}).items()],
+                columns=["key", "status", "rows", "t_start", "t_end"]),
+        }
+        for name, pdf in frames.items():
+            if pdf.empty:
+                continue
+            sdf = self.spark.createDataFrame(pdf.astype(object).where(
+                pdf.notna(), None))
+            sdf.coalesce(1).write.mode("overwrite").parquet(
+                self.path(f"_meta/{name}"))
+
+    def meta_table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(f"_meta/{name}"))

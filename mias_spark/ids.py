@@ -67,10 +67,19 @@ def _with_dense_ids(df: DataFrame, pid_col, order_cols: list[str],
 def assign_ids_hex(df: DataFrame, key_col: str, id_col: str,
                    num_partitions: int | None = None) -> tuple[DataFrame, int]:
     """Dense ids 0..n-1 in global ``key_col`` order; key must be a hex
-    digest string (uniform). Returns (df, total_rows)."""
-    n_part = num_partitions or _auto_partitions(df)
-    return _with_dense_ids(
-        df, _hex_pid(key_col, n_part), [key_col], id_col, n_part)
+    digest string (uniform). Returns (df, total_rows).
+
+    The heavy payload NEVER shuffles: the dense rank is computed on a
+    keys-only projection (narrow — a few bytes/row even when the row
+    carries megabytes of content), then joined back on the key. AQE
+    broadcasts the (key, id) map when it fits (always, in-sandbox) and
+    falls back to a co-partitioned hash join at 10^12-row scale — either
+    way the full rows move at most once instead of twice."""
+    n_part = num_partitions or _auto_partitions(df.select(key_col))
+    keys = df.select(key_col)
+    mapping, total = _with_dense_ids(
+        keys, _hex_pid(key_col, n_part), [key_col], id_col, n_part)
+    return df.join(mapping, key_col), total
 
 
 def assign_ids_hashed(df: DataFrame, key_cols: list[str], id_col: str,

@@ -92,7 +92,39 @@ class Engine:
                variant: str = "BOTH", extract_subformulae: bool = True,
                reduce_weighting: bool = True, mode: str = "df",
                with_fields: bool = True, snippets: bool = False,
-               debug: bool = False) -> SearchResult:
+               debug: bool = False,
+               timeout_s: float | None = None) -> SearchResult:
+        """``timeout_s``: Q9 time-limited search (the reference's 30 s
+        TimeLimitingCollector, Searching.java:169-200) — cancels the
+        Spark job group at the deadline and returns empty partial
+        results (the reference returns whatever the collector gathered;
+        cancellation granularity here is the whole job)."""
+        if timeout_s is not None:
+            import threading
+            sc = self.spark.sparkContext
+            group = f"mias-search-{id(self)}-{threading.get_ident()}"
+            sc.setJobGroup(group, query_text[:80], interruptOnCancel=True)
+            timer = threading.Timer(
+                timeout_s, lambda: sc.cancelJobGroup(group))
+            timer.start()
+            try:
+                return self._search_body(
+                    query_text, k, offset, variant, extract_subformulae,
+                    reduce_weighting, mode, with_fields, snippets, debug)
+            except Exception:
+                return SearchResult(
+                    pd.DataFrame(columns=["rank", "doc_id", "score"]),
+                    0, 0, "(timed out)")
+            finally:
+                timer.cancel()
+                sc.setJobGroup("", "")
+        return self._search_body(
+            query_text, k, offset, variant, extract_subformulae,
+            reduce_weighting, mode, with_fields, snippets, debug)
+
+    def _search_body(self, query_text, k, offset, variant,
+                     extract_subformulae, reduce_weighting, mode,
+                     with_fields, snippets, debug) -> SearchResult:
         clauses, n_groups, processed, q = self.compile(
             query_text, variant, extract_subformulae, reduce_weighting)
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
