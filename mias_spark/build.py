@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from mias_spark import blocks as blk
 from mias_spark.catalog import Catalog
 from mias_spark.ids import assign_ids_hashed, assign_ids_hex
-from mias_spark.parallel import ensure_udf_parallelism, udf_partitions
+from mias_spark.parallel import ensure_udf_parallelism
 from mias_spark.tokenize import tokenize_docs, with_meta
 from mias_spec.constants import SALT_DF_THRESHOLD, SALT_DOC_RANGE
 
@@ -65,11 +65,10 @@ def build_index(
             src = src.limit(doc_limit)
         keyed = src.withColumn(
             "doc_key", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
-        # width from the SCAN's byte stats (join plans mis-estimate)
-        width = udf_partitions(keyed)
+        # rescue width on the scan side BEFORE the id join (.rdd on the
+        # join plan would eagerly run its AQE stages)
+        keyed = ensure_udf_parallelism(keyed)
         docs, n = assign_ids_hex(keyed, "doc_key", "doc_id")
-        if docs.rdd.getNumPartitions() < width:
-            docs = docs.repartition(width)
         # meta computed inline in the same pass as the store write;
         # arXiv id override (HtmlDocument.java:31-36)
         store = with_meta(docs).withColumn(

@@ -30,16 +30,6 @@ def _hex_pid(key_col: str, n_part: int):
     return F.shiftright(val * n_part, 32).cast("int").alias("_pid")
 
 
-def _auto_partitions(df: DataFrame) -> int:
-    """Between 1x and 4x cores, scaled by the input's own width: big
-    inputs get 4x oversubscription (keeps cores busy through Arrow-UDF
-    pipeline stalls downstream — the written table's file count carries
-    the width forward), tiny inputs stay at 1x (no task-overhead blowup
-    on small corpora)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return max(par, min(4 * par, 2 * df.rdd.getNumPartitions()))
-
-
 def _with_dense_ids(df: DataFrame, pid_col, order_cols: list[str],
                     id_col: str, n_part: int) -> tuple[DataFrame, int]:
     spark = df.sparkSession
@@ -75,7 +65,10 @@ def assign_ids_hex(df: DataFrame, key_col: str, id_col: str,
     broadcasts the (key, id) map when it fits (always, in-sandbox) and
     falls back to a co-partitioned hash join at 10^12-row scale — either
     way the full rows move at most once instead of twice."""
-    n_part = num_partitions or _auto_partitions(df.select(key_col))
+    # ranking runs on keys only (tiny rows): 1 task/core is plenty, and
+    # probing the plan's width here would eagerly execute AQE stages
+    n_part = num_partitions or \
+        df.sparkSession.sparkContext.defaultParallelism
     keys = df.select(key_col)
     mapping, total = _with_dense_ids(
         keys, _hex_pid(key_col, n_part), [key_col], id_col, n_part)
@@ -87,7 +80,8 @@ def assign_ids_hashed(df: DataFrame, key_cols: list[str], id_col: str,
                       ) -> tuple[DataFrame, int]:
     """Dense deterministic ids for arbitrary unique key tuples (order =
     (hash-partition, key tuple), stable across runs/retries)."""
-    n_part = num_partitions or _auto_partitions(df)
+    n_part = num_partitions or \
+        df.sparkSession.sparkContext.defaultParallelism
     pid = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
                  F.lit(n_part)).cast("int")
     return _with_dense_ids(df, pid, key_cols, id_col, n_part)

@@ -98,6 +98,7 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
     cat._save(m)
     build_blocks(spark, cat, n_buckets)
     cat.commit_table("blocks")
+    cat.flush_meta()
 
 
 # -------------------------------------------------------------------- upsert

@@ -35,10 +35,13 @@ def udf_partitions(df: DataFrame,
 
 
 def ensure_udf_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition an Arrow-UDF stage's input up to the byte-derived
-    width; no-op when the scan is already wide enough (the normal case
-    at real scale, where this never shuffles)."""
-    want = udf_partitions(df)
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
+    """Rescue an Arrow-UDF stage whose SCAN is narrower than the core
+    count (tiny corpora); wide inputs pass through untouched — at real
+    scale the 32 MiB split size already yields >= 4x-cores width with no
+    shuffle. Only call on scan-rooted plans: ``.rdd`` on an AQE join
+    plan executes its stages eagerly (and the subtree again at action
+    time)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
     return df

@@ -173,3 +173,18 @@ def test_blocks_mode_offset_and_conjunction(spark, tiny_build):
         [int(d) for d in dfref["doc_id"]]
     assert [int(d) for d in page2["doc_id"]] == \
         [int(d) for d in full["doc_id"][5:10]]
+
+
+def test_meta_tables_queryable(spark, tiny_build):
+    """North rule: lineage + metrics + per-partition checkpoints exist
+    as queryable tables, not just manifest JSON."""
+    c, cat, oidx, ix = tiny_build
+    lin = cat.meta_table("lineage").toPandas()
+    assert {"snapshot", "table", "rows"} <= set(lin.columns)
+    assert set(lin["table"]) >= {"doc_store", "tokens", "dictionary",
+                                 "postings", "blocks"}
+    met = cat.meta_table("metrics").toPandas()
+    assert "build_total" in set(met["stage"])
+    cps = cat.meta_table("checkpoints").toPandas()
+    assert all(k.startswith("blocks/bucket=") for k in cps["key"])
+    assert (cps["status"] == "done").all()
