@@ -263,3 +263,19 @@ def test_properties_config_load(tmp_path):
     assert c.formula_docs is True
     d = MiasConfig()
     assert d.max_results == 1000 and d.doc_limit is None
+
+
+def test_varint_split_matches_per_block():
+    """encode_varints_split(vals, starts) must equal per-slice encodes."""
+    import numpy as np
+    from mias_spec.codec import encode_varints, encode_varints_split
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2**40, size=1000, dtype=np.uint64)
+    starts = np.array(sorted(rng.choice(np.arange(1, 1000), 7,
+                                        replace=False).tolist() + [0]))
+    parts = encode_varints_split(vals, starts)
+    bounds = list(starts) + [len(vals)]
+    for i, p in enumerate(parts):
+        assert p == encode_varints(vals[bounds[i]:bounds[i + 1]])
+    assert encode_varints_split(np.array([], dtype=np.uint64),
+                                np.array([], dtype=np.int64)) == []
