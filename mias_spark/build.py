@@ -114,7 +114,11 @@ def build_index(
                .groupBy("field", "term")
                .agg(F.count("*").alias("df")))  # one token row per doc
         dic, n = assign_ids_hashed(dic, ["field", "term"], "term_id")
-        cat.write(dic, "dictionary")
+        # partition by term-hash bucket: query compile prunes its term
+        # lookups to |query terms| buckets instead of scanning the whole
+        # dictionary (10^9 terms at target scale)
+        dic = dic.withColumn("dbucket", _dbucket())
+        cat.write(dic, "dictionary", partition_by=["dbucket"])
         cat.commit_table("dictionary", rows=n)
         cat.metric("dictionary", rows=n, secs=time.time() - ts)
 
@@ -162,6 +166,16 @@ def build_index(
                docs_per_sec=(n_docs / wall if wall > 0 else None))
     cat.flush_meta()   # lineage/metrics/checkpoints as queryable tables
     return cat
+
+
+N_DICT_BUCKETS = 64
+
+
+def _dbucket():
+    """Dictionary partition key — MUST match search.py's query-side
+    computation exactly (same hash, same modulus)."""
+    return F.pmod(F.xxhash64("field", "term"),
+                  F.lit(N_DICT_BUCKETS)).cast("int")
 
 
 def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,

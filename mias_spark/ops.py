@@ -60,7 +60,10 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
         dic = kept.unionByName(new_ids)
     else:
         dic = kept
-    dic.write.mode("overwrite").parquet(cat.path("_dictionary_new"))
+    from mias_spark.build import _dbucket
+    (dic.withColumn("dbucket", _dbucket())
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(cat.path("_dictionary_new")))
     import shutil
     shutil.rmtree(cat.path("dictionary"), ignore_errors=True)
     shutil.move(cat.path("_dictionary_new"), cat.path("dictionary"))

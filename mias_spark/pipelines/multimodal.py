@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata — the training-data-pipeline surface of the engine.
+
+Media payloads are opaque ``BinaryType`` columns with a 22-byte typed
+header (magic(4) + kind(2) + width(6) + height(6) + frames(4), ASCII so
+the DuckDB oracle can check the very same parse); decode / feature
+extraction / resize / frame-sample run as Arrow ``mapInPandas`` kernels
+over the blobs. The actual codec step is STUBBED (this container has no
+image/audio libraries): ``decode_media`` raises NotImplementedError for
+real decoding and provides a deterministic fake so the Spark-side
+plumbing — schema, batch shape, partitioning, UDF signatures — is real
+and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = "FMED"
+KINDS = ["im", "au", "vi"]          # image / audio / video
+HEADER_LEN = 22
+N_FEATURES = 8
+
+
+# ------------------------------------------------------------- synthesis
+
+def make_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic synthetic media table
+    (media_id long, kind string, mime string, blob binary).
+    Header fields derive from media_id; payload is a deterministic
+    md5-stream rendered as hex ASCII (stands in for codec bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = KINDS[mid % 3]
+                w, h = 16 * (1 + mid % 40), 9 * (1 + mid % 40)
+                frames = 1 if kind == "im" else 1 + mid % 250
+                payload = hashlib.md5(f"media:{mid}".encode()).hexdigest() \
+                    * (1 + mid % 4)
+                blob = (f"{MAGIC}{kind}{w:06d}{h:06d}{frames:04d}"
+                        f"{payload}").encode("ascii")
+                mime = {"im": "image/fake", "au": "audio/fake",
+                        "vi": "video/fake"}[kind]
+                rows.append((mid, kind, mime, blob))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "mime", "blob"])
+
+    return spark.range(n).mapInPandas(
+        fn, "media_id long, kind string, mime string, blob binary")
+
+
+# ------------------------------------------------------- metadata (JVM)
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata parsed from the binary header with NATIVE column
+    functions only — stays in whole-stage codegen, no Python."""
+    def field(start: int, length: int):
+        return F.expr(
+            f"cast(cast(substring(blob, {start}, {length}) as string) "
+            "as long)")
+
+    return media.select(
+        "media_id", "kind", "mime",
+        F.length("blob").alias("n_bytes"),
+        F.expr("cast(substring(blob, 1, 4) as string)").alias("magic"),
+        field(7, 6).alias("width"),
+        field(13, 6).alias("height"),
+        field(19, 4).alias("n_frames"),
+    )
+
+
+# ------------------------------------------------- decode stub + features
+
+def decode_media(blob: bytes, real: bool = False) -> np.ndarray:
+    """Decode a media payload to a sample array.
+
+    ``real=True`` is the integration point for an actual codec (PIL /
+    soundfile / pyav) — NOT available in this environment, so it raises.
+    The default is a deterministic fake: the md5 stream of the payload
+    as uint8 samples — stable across engines/runs, enough to exercise
+    every downstream kernel."""
+    if real:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio codec library "
+            "(PIL/soundfile/pyav); install one and plug it in here")
+    digest = hashlib.md5(blob[HEADER_LEN:]).digest()
+    return np.frombuffer(digest * 4, dtype=np.uint8).astype(np.float32)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: blob -> fixed-size float vector
+    (the embedding-extraction stage of a training pipeline; decode step
+    stubbed per module docstring)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["blob"]:
+                samples = decode_media(bytes(blob))
+                chunks = np.array_split(samples, N_FEATURES)
+                feats.append(np.array(
+                    [float(c.mean()) for c in chunks], dtype=np.float64))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "features": feats,
+                "feat_norm": [round(float(np.linalg.norm(f)), 4)
+                              for f in feats],
+            })
+
+    return media.mapInPandas(
+        fn, "media_id long, kind string, features array<double>, "
+            "feat_norm double")
+
+
+def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index
+    (frame payload decode stubbed; the explode/partition shape is the
+    real part)."""
+    meta = media_metadata(media).where(F.col("kind") == "vi")
+    return (meta.select(
+        "media_id", "n_frames",
+        F.explode(F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias("frame_idx"))
+    )

@@ -389,6 +389,45 @@ ANN_COSINE_TOPK_SQL = f"""
 """
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: vector pairs above a
+    cosine threshold (the verification step after LSH bucketing)."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 200))
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"))
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> "
+                 "cast(x AS double) * cast(y AS double)), 0D, "
+                 "(acc, v) -> acc + v)")
+    na = F.expr("sqrt(aggregate(ea, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    nb = F.expr("sqrt(aggregate(eb, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    F.round(dot / (na * nb), 4).alias("cosine"))
+            .where(F.col("cosine") > 0.25))
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(
+               (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                FROM generate_series(1, {_DIM}) AS g(i))
+               / (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+                        FROM generate_series(1, {_DIM}) AS g(i)))
+                  * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                          FROM generate_series(1, {_DIM}) AS g(i)))), 4) AS cosine
+      FROM q a JOIN q b ON a.vec_id < b.vec_id)
+    SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, cosine
+    FROM pairs WHERE cosine > 0.25
+"""
+
+
 def lsh_cosine_buckets(spark, sf_dir):
     """Sign-LSH over 8 fixed coordinates: bucket histogram (the bucketed
     candidate-generation path for ANN at scale)."""
@@ -519,6 +558,54 @@ DOC_FINGERPRINT_SQL = f"""
 """
 
 
+# --------------------------------------------------------------- multimodal
+
+def mm_metadata(spark, sf_dir):
+    """Binary media columns: build a typed-header blob per document
+    (BinaryType end to end) and parse the metadata back with native
+    functions — the oracle runs the IDENTICAL construction+parse in
+    DuckDB (mias_spark/pipelines/multimodal.py holds the Arrow-UDF
+    decode/feature path, which is rows-only checked)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    blob = F.expr(
+        "cast(concat('FMED', "
+        " substring('imauvi', (cast(doc_id % 3 as int)) * 2 + 1, 2), "
+        " lpad(cast(16 * (1 + doc_id % 40) as string), 6, '0'), "
+        " lpad(cast(9 * (1 + doc_id % 40) as string), 6, '0'), "
+        " lpad(cast(1 + doc_id % 250 as string), 4, '0'), "
+        " text) as binary)")
+    b = d.select("doc_id", blob.alias("blob"))
+    field = lambda s, n: F.expr(  # noqa: E731
+        f"cast(cast(substring(blob, {s}, {n}) as string) as long)")
+    return b.select(
+        "doc_id",
+        F.length("blob").alias("n_bytes"),
+        F.expr("cast(substring(blob, 1, 4) as string)").alias("magic"),
+        F.expr("cast(substring(blob, 5, 2) as string)").alias("kind"),
+        field(7, 6).alias("width"),
+        field(13, 6).alias("height"),
+        field(19, 4).alias("n_frames"))
+
+
+MM_METADATA_SQL = """
+    WITH b AS (
+      SELECT doc_id, encode('FMED'
+        || substring('imauvi', (CAST(doc_id % 3 AS INT)) * 2 + 1, 2)
+        || lpad(CAST(16 * (1 + doc_id % 40) AS VARCHAR), 6, '0')
+        || lpad(CAST(9 * (1 + doc_id % 40) AS VARCHAR), 6, '0')
+        || lpad(CAST(1 + doc_id % 250 AS VARCHAR), 4, '0')
+        || text) AS blob
+      FROM documents)
+    SELECT doc_id, octet_length(blob)::BIGINT AS n_bytes,
+           substring(CAST(blob AS VARCHAR), 1, 4) AS magic,
+           substring(CAST(blob AS VARCHAR), 5, 2) AS kind,
+           CAST(substring(CAST(blob AS VARCHAR), 7, 6) AS BIGINT) AS width,
+           CAST(substring(CAST(blob AS VARCHAR), 13, 6) AS BIGINT) AS height,
+           CAST(substring(CAST(blob AS VARCHAR), 19, 4) AS BIGINT) AS n_frames
+    FROM b
+"""
+
+
 # ---------------------------------------------------------------- relational
 
 def tpch_q1(spark, sf_dir):
@@ -634,7 +721,10 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine,
+                               DEDUP_EMBEDDING_COSINE_SQL),
     "lsh_cosine_buckets": (lsh_cosine_buckets, LSH_COSINE_BUCKETS_SQL),
+    "mm_metadata": (mm_metadata, MM_METADATA_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),

@@ -66,7 +66,18 @@ class Engine:
             return pd.DataFrame(columns=[
                 "term_id", "grp", "boost", "idf", "avgdl", "bucket"]), 0, "", q
         pairs = sorted({(c.fld, c.term) for c in q.clauses})
+        # partition-pruned dictionary lookup: compute each pair's
+        # dbucket (tiny local job, no table scan) and read only those
+        # partitions — |query terms| buckets instead of the full
+        # dictionary (build.py _dbucket; 10^9 terms at target scale)
+        from mias_spark.build import _dbucket
         dic = self.cat.read("dictionary")
+        if "dbucket" in dic.columns:
+            pair_rows = self.spark.createDataFrame(
+                pairs, "field string, term string") \
+                .withColumn("dbucket", _dbucket()).collect()
+            dbuckets = sorted({int(r["dbucket"]) for r in pair_rows})
+            dic = dic.where(F.col("dbucket").isin(dbuckets))
         cond = F.concat_ws("\x00", "field", "term").isin(
             ["\x00".join(p) for p in pairs])
         found = {(r["field"], r["term"]): (r["term_id"], r["df"])

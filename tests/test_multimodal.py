@@ -1,0 +1,76 @@
+"""Multimodal binary-column pipeline: synthesis, JVM-side metadata
+parse, Arrow feature extraction (stubbed decode), frame sampling."""
+
+import numpy as np
+import pytest
+
+from mias_spark.pipelines.multimodal import (
+    HEADER_LEN,
+    N_FEATURES,
+    decode_media,
+    frame_sample,
+    make_media,
+    media_features,
+    media_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = make_media(spark, 120)
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_media_synthesis_deterministic(spark, media):
+    a = media.toPandas().sort_values("media_id").reset_index(drop=True)
+    b = make_media(spark, 120).toPandas().sort_values(
+        "media_id").reset_index(drop=True)
+    assert (a["blob"] == b["blob"]).all()
+    assert set(a["kind"]) == {"im", "au", "vi"}
+    assert a["blob"].map(lambda x: bytes(x)[:4]).eq(b"FMED").all()
+
+
+def test_media_metadata_parse(spark, media):
+    meta = media_metadata(media).toPandas().set_index("media_id")
+    for mid in (0, 1, 2, 41, 119):
+        row = meta.loc[mid]
+        assert row["magic"] == "FMED"
+        assert row["width"] == 16 * (1 + mid % 40)
+        assert row["height"] == 9 * (1 + mid % 40)
+        exp_frames = 1 if mid % 3 == 0 else 1 + mid % 250
+        assert row["n_frames"] == exp_frames
+        assert row["n_bytes"] > HEADER_LEN
+
+
+def test_decode_stub_contract():
+    blob = b"FMEDim" + b"0" * 16 + b"payload"
+    fake = decode_media(blob)
+    assert fake.dtype == np.float32 and len(fake) == 64
+    # deterministic
+    assert (decode_media(blob) == fake).all()
+    with pytest.raises(NotImplementedError):
+        decode_media(blob, real=True)
+
+
+def test_media_features_shape(spark, media):
+    f = media_features(media).toPandas()
+    assert len(f) == 120
+    assert all(len(v) == N_FEATURES for v in f["features"])
+    # deterministic across runs
+    f2 = media_features(media).toPandas()
+    m1 = dict(zip(f["media_id"], f["feat_norm"]))
+    m2 = dict(zip(f2["media_id"], f2["feat_norm"]))
+    assert m1 == m2
+
+
+def test_frame_sample(spark, media):
+    fs = frame_sample(media, every=25).toPandas()
+    assert set(fs.columns) == {"media_id", "n_frames", "frame_idx"}
+    # only videos; every video yields ceil(n_frames/25) rows
+    meta = media_metadata(media).toPandas()
+    vids = meta[meta["kind"] == "vi"]
+    exp = int(sum(-(-n // 25) for n in vids["n_frames"]))
+    assert len(fs) == exp
+    assert (fs["frame_idx"] % 25 == 0).all()
