@@ -188,3 +188,39 @@ def test_meta_tables_queryable(spark, tiny_build):
     cps = cat.meta_table("checkpoints").toPandas()
     assert all(k.startswith("blocks/bucket=") for k in cps["key"])
     assert (cps["status"] == "done").all()
+
+
+def test_skew_salting_rank_identical(spark, tmp_path, monkeypatch):
+    """B4 skew salting: with thresholds lowered so hot terms REALLY get
+    doc-range salted into multiple sub-lists, the packed blocks carry
+    salt > 0 and both physical plans stay rank-identical to the
+    oracle."""
+    import mias_spark.build as B
+    monkeypatch.setattr(B, "SALT_DF_THRESHOLD", 10)
+    monkeypatch.setattr(B, "SALT_DOC_RANGE", 40)
+    from mias_spark.build import build_index
+    from mias_spec import corpus as C
+    from mias_spec import oracle as O
+    c = C.make_corpus(200)
+    ix = str(tmp_path / "ix_salt")
+    cat = build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    blocks = spark.read.parquet(cat.path("blocks"))
+    n_salted = blocks.where(F.col("salt") > 0).count()
+    assert n_salted > 0, "salting never triggered — test setup broken"
+    # salted sub-lists keep doc order globally: salt monotone in doc_id
+    rows = (blocks.where(F.col("salt") > 0)
+            .select("term_id", "salt", "first_doc", "last_doc").collect())
+    for r in rows:
+        assert r["first_doc"] // 40 == r["salt"]
+        assert r["last_doc"] // 40 == r["salt"]
+    oidx = O.build_index(c)
+    eng = Engine(spark, ix)
+    for q in ["energy", "electron quantum",
+              C.render_math(C.EXACT_AST)]:
+        exp = O.search(oidx, q, "BOTH", 10)
+        for mode in ("df", "blocks"):
+            got = eng.search(q, k=10, mode=mode, with_fields=False).hits
+            assert [int(d) for d in got["doc_id"]] == \
+                [int(d) for d in exp["doc_id"]], (q, mode)
+            assert np.allclose(got["score"].astype(float),
+                               exp["score"].astype(float), atol=1e-6)
