@@ -171,6 +171,17 @@ def build_index(
 N_DICT_BUCKETS = 64
 
 
+def _salted(posts: DataFrame) -> DataFrame:
+    """B4 skew handling: doc-range salt for terms above the df
+    threshold (salt is monotone in doc_id, so (salt, block_ord) keeps
+    global doc order per term)."""
+    return (posts.withColumn("salt", F.when(
+        F.col("df") > SALT_DF_THRESHOLD,
+        (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
+        .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
+                "idf", "avgdl"))
+
+
 def _dbucket():
     """Dictionary partition key — MUST match search.py's query-side
     computation exactly (same hash, same modulus)."""
@@ -200,14 +211,7 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
         if not todo:
             continue
         ts = time.time()
-        sub = (
-            posts.where(F.col("bucket").isin(todo))
-            .withColumn("salt", F.when(
-                F.col("df") > SALT_DF_THRESHOLD,
-                (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
-            .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
-                    "idf", "avgdl")
-        )
+        sub = _salted(posts.where(F.col("bucket").isin(todo)))
         packed = (
             sub.repartition(pack_width, "term_id", "salt")
             .sortWithinPartitions("term_id", "salt", "doc_id")
@@ -223,9 +227,12 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
 
 
 def index_stats(cat: Catalog) -> dict:
-    """S9 stats analog (Indexing.java:246-272)."""
+    """S9 stats analog (Indexing.java:246-272) — live docs only."""
     m = cat.manifest()
     store = cat.read("doc_store")
+    tomb = cat.tombstones()
+    if tomb is not None:
+        store = store.join(tomb, "doc_id", "leftanti")
     agg = store.agg(
         F.count("*").alias("n_docs"),
         F.sum("filesize").alias("total_bytes"),

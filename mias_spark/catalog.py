@@ -114,6 +114,25 @@ class Catalog:
         m["props"].update(kv)
         self._save(m)
 
+    # ----------------------------------------------------------- tombstones
+    def has_table(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def tombstones(self) -> DataFrame | None:
+        """Deleted/replaced doc ids (Lucene liveDocs-bitset analog).
+        None when the index has no tombstones."""
+        if not self.has_table("tombstones"):
+            return None
+        return self.spark.read.parquet(self.path("tombstones"))
+
+    def add_tombstones(self, doc_ids: DataFrame) -> None:
+        (doc_ids.select("doc_id").write.mode("append")
+         .parquet(self.path("tombstones")))
+
+    def clear_tombstones(self) -> None:
+        import shutil
+        shutil.rmtree(self.path("tombstones"), ignore_errors=True)
+
     # ----------------------------------------------- queryable meta tables
     def flush_meta(self) -> None:
         """Materialize lineage / metrics / checkpoints as parquet tables

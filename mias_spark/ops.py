@@ -2,18 +2,28 @@
 (-add/-overwrite/-delete/-optimize/-stats/-indocprocess,
 /root/reference/src/main/java/cz/muni/fi/mias/MIaS.java:32-60).
 
-Design: tokenization is the expensive stage (XML + math pipeline), so it
-is strictly incremental — upsert tokenizes ONLY new/changed docs and
-appends to the tokens table. The relational stages downstream (norms,
-df, postings, blocks) are recomputed from live tokens because BM25's
-global statistics (df, N, avgdl) change with every doc added or removed;
-that recompute is pure shuffle work Catalyst handles. Restricting the
-block rebuild to affected term buckets is the planned next optimization.
+Segment architecture (the Lucene delete-and-add model, Indexing.java:145,
+re-expressed for append-only tables):
 
-Doc ids are stable across upsert/delete: existing docs keep their id
-(delta-gap codecs tolerate gaps), replaced docs are tombstoned and new
+  upsert   = tombstone replaced doc_ids + APPEND new rows to doc_store /
+             tokens / postings / blocks (delta segments; cost scales
+             with the DELTA, never the index) + refresh the narrow
+             global-stats tables (norms, field stats, dictionary df)
+  delete   = tombstone + stats refresh ONLY — no posting data moves
+             (Lucene liveDocs-bitset semantics)
+  optimize = compaction / force-merge: purge tombstoned rows, clear
+             tombstones, full sorted rebuild of postings + blocks
+
+Correctness with stale segments: query-time scoring takes idf / avgdl /
+n_docs from the CLAUSE table (always fresh), dl rides on each posting
+row (changes only with its own doc), and packed blocks carry pack-time
+``idf0`` so block-max pruning rescales bounds exactly (score is linear
+in idf; search._topk_blocks). Tombstoned docs are filtered in both
+physical plans.
+
+Doc ids are append-monotone: replaced docs are tombstoned and new
 versions get fresh ids — the updateDocument delete-then-add semantic
-keyed by doc_key (Indexing.java:145).
+keyed by doc_key.
 """
 
 from __future__ import annotations
@@ -30,12 +40,29 @@ from mias_spark.ids import assign_ids_hashed, assign_ids_hex
 from mias_spark.tokenize import tokenize_docs, with_meta
 
 
-# ------------------------------------------------------------------ rebuild
+# ---------------------------------------------------------------- live views
 
-def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
-    """Recompute norms/stats/dictionary-df/postings/blocks from the live
-    tokens table, preserving existing term_ids (new terms appended)."""
+def live_tokens(cat: Catalog) -> DataFrame:
     toks = cat.read("tokens")
+    tomb = cat.tombstones()
+    return toks if tomb is None else toks.join(tomb, "doc_id", "leftanti")
+
+
+def live_store(cat: Catalog) -> DataFrame:
+    store = cat.read("doc_store")
+    tomb = cat.tombstones()
+    return store if tomb is None else store.join(tomb, "doc_id", "leftanti")
+
+
+# ------------------------------------------------------------ stats refresh
+
+def refresh_stats(spark: SparkSession, cat: Catalog) -> None:
+    """Rebuild the NARROW global-statistics tables from live tokens:
+    doc_norms, per-field stats, dictionary df (term_ids preserved, new
+    terms appended). This is the only non-delta work an upsert/delete
+    does — queries read these fresh, so stale per-row stats columns in
+    old posting segments never affect results."""
+    toks = live_tokens(cat)
 
     norms = toks.groupBy("doc_id", "field").agg(F.first("dl").alias("dl"))
     cat.write(norms, "doc_norms")
@@ -70,12 +97,16 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
     n_terms = cat.read("dictionary").count()
     cat.commit_table("dictionary", rows=n_terms)
 
-    n_buckets = cat.props()["n_buckets"]
+
+def _posting_rows(spark: SparkSession, cat: Catalog, toks: DataFrame,
+                  n_buckets: int) -> DataFrame:
+    """Token rows -> bucketed posting rows with inlined stats (the same
+    shape build_index writes)."""
     fs = cat.props()["field_stats"]
     stats_df = spark.createDataFrame(
         [(f, int(v["n_docs"]), float(v["avgdl"])) for f, v in fs.items()],
         "field string, n_docs long, avgdl double")
-    posts = (
+    return (
         toks.join(cat.read("dictionary"), ["field", "term"])
         .join(F.broadcast(stats_df), "field")
         .withColumn("idf", F.log(
@@ -85,11 +116,19 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
                 "idf", "avgdl", "positions",
                 F.pmod("term_id", F.lit(n_buckets)).cast("int").alias("bucket"))
     )
+
+
+def rebuild_postings_blocks(spark: SparkSession, cat: Catalog) -> None:
+    """Full sorted rebuild of postings + blocks from live tokens (the
+    compaction path; incremental paths append delta segments instead)."""
+    n_buckets = cat.props()["n_buckets"]
+    posts = _posting_rows(spark, cat, live_tokens(cat), n_buckets)
     n_out = max(n_buckets, 2 * spark.sparkContext.defaultParallelism)
     (posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
           .sortWithinPartitions("term_id", "doc_id")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(cat.path("_postings_new")))
+    import shutil
     shutil.rmtree(cat.path("postings"), ignore_errors=True)
     shutil.move(cat.path("_postings_new"), cat.path("postings"))
     cat.commit_table("postings", rows=cat.read("postings").count())
@@ -99,6 +138,8 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
     m["checkpoints"] = {k: v for k, v in m["checkpoints"].items()
                         if not k.startswith("blocks/")}
     cat._save(m)
+    import shutil as _sh
+    _sh.rmtree(cat.path("blocks"), ignore_errors=True)
     build_blocks(spark, cat, n_buckets)
     cat.commit_table("blocks")
     cat.flush_meta()
@@ -108,38 +149,64 @@ def rebuild_relational(spark: SparkSession, cat: Catalog) -> None:
 
 def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     """MERGE INTO semantics on doc_key: replace matching docs, add the
-    rest (B6). Only new docs are tokenized."""
+    rest (B6). Pure delta work: replaced docs are TOMBSTONED, new docs
+    are tokenized and APPENDED as fresh segments to doc_store, tokens,
+    postings and blocks; only the narrow stats tables are recomputed."""
     cat = Catalog(spark, index_dir)
     keyed = new_corpus.withColumn(
         "doc_key", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
     store = cat.read("doc_store")
-    # materialize replaced ids BEFORE doc_store is swapped out beneath
-    # the lazy plans that reference it
-    (store.join(keyed.select("doc_key"), "doc_key", "leftsemi")
+    (live_store(cat).join(keyed.select("doc_key"), "doc_key", "leftsemi")
      .select("doc_id", "doc_key")
      .write.mode("overwrite").parquet(cat.path("_staging_replaced")))
     replaced = spark.read.parquet(cat.path("_staging_replaced"))
     n_replaced = replaced.count()
     next_doc = (store.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+    cat.add_tombstones(replaced)
 
     new_docs, _n = assign_ids_hex(keyed, "doc_key", "doc_id")
     new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + next_doc)
     new_store = with_meta(new_docs).withColumn(
         "id", F.coalesce("arxiv_id", "doc_key"))
+    # stage the delta once; everything below appends from this segment
+    new_store.select(*store.columns).write.mode("overwrite") \
+        .parquet(cat.path("_staging_delta_store"))
+    delta_store = spark.read.parquet(cat.path("_staging_delta_store"))
+    delta_store.write.mode("append").parquet(cat.path("doc_store"))
+    cat.commit_table("doc_store")
 
-    # delete-then-add: drop replaced rows, append new ones
-    live_store = store.join(replaced.select("doc_id"), "doc_id", "leftanti")
-    merged = live_store.unionByName(new_store.select(*live_store.columns))
-    _swap_write(cat, merged, "doc_store")
-    cat.commit_table("doc_store", rows=cat.read("doc_store").count())
+    new_toks = tokenize_docs(delta_store.select("doc_id", "content", "lang"))
+    new_toks.write.mode("overwrite").parquet(cat.path("_staging_delta_toks"))
+    delta_toks = spark.read.parquet(cat.path("_staging_delta_toks"))
+    delta_toks.write.mode("append").parquet(cat.path("tokens"))
+    cat.commit_table("tokens")
 
-    new_toks = tokenize_docs(new_store.select("doc_id", "content", "lang"))
-    live_toks = cat.read("tokens").join(
-        replaced.select("doc_id"), "doc_id", "leftanti")
-    _swap_write(cat, live_toks.unionByName(new_toks), "tokens")
-    cat.commit_table("tokens", rows=cat.read("tokens").count())
+    refresh_stats(spark, cat)     # norms, field stats, dictionary df
 
-    rebuild_relational(spark, cat)
+    # delta posting + block segments (new docs only — the appended block
+    # segments carry CURRENT idf0; old segments rescale at query time)
+    n_buckets = cat.props()["n_buckets"]
+    posts = _posting_rows(spark, cat, delta_toks, n_buckets)
+    n_out = max(n_buckets, spark.sparkContext.defaultParallelism)
+    sorted_posts = (
+        posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
+        .sortWithinPartitions("term_id", "doc_id"))
+    sorted_posts.write.mode("append").partitionBy("bucket") \
+        .parquet(cat.path("postings"))
+    cat.commit_table("postings")
+    from mias_spark import blocks as blk
+    from mias_spark.build import _salted
+    packed = (_salted(posts)
+              .repartition(n_out, "term_id", "salt")
+              .sortWithinPartitions("term_id", "salt", "doc_id")
+              .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
+              .withColumn("bucket",
+                          F.pmod("term_id", F.lit(n_buckets)).cast("int")))
+    packed.write.mode("append").partitionBy("bucket") \
+        .parquet(cat.path("blocks"))
+    cat.commit_table("blocks")
+    cat.flush_meta()
+
     n_new = new_corpus.count()
     cat.metric("upsert", added=n_new, replaced=n_replaced)
     return {"added": n_new, "replaced": n_replaced}
@@ -149,21 +216,20 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
 
 def delete_by_path(spark: SparkSession, index_dir: str,
                    path_prefix: str) -> int:
-    """Recursive delete by path (S6, Indexing.java:211-241)."""
+    """Recursive delete by path (S6, Indexing.java:211-241). Metadata
+    only — tombstones + stats refresh; no posting data moves (Lucene
+    liveDocs semantics; `optimize` reclaims the space)."""
     cat = Catalog(spark, index_dir)
-    store = cat.read("doc_store")
-    (store.where(F.col("path").startswith(path_prefix)).select("doc_id")
+    (live_store(cat).where(F.col("path").startswith(path_prefix))
+     .select("doc_id")
      .write.mode("overwrite").parquet(cat.path("_staging_doomed")))
     doomed = spark.read.parquet(cat.path("_staging_doomed"))
     n = doomed.count()
     if n == 0:
         return 0
-    _swap_write(cat, store.join(doomed, "doc_id", "leftanti"), "doc_store")
-    cat.commit_table("doc_store", rows=cat.read("doc_store").count())
-    _swap_write(cat, cat.read("tokens").join(doomed, "doc_id", "leftanti"),
-                "tokens")
-    cat.commit_table("tokens", rows=cat.read("tokens").count())
-    rebuild_relational(spark, cat)
+    cat.add_tombstones(doomed)
+    refresh_stats(spark, cat)
+    cat.flush_meta()
     cat.metric("delete", removed=n, path_prefix=path_prefix)
     return n
 
@@ -182,32 +248,24 @@ def _swap_write(cat: Catalog, df: DataFrame, table: str) -> None:
 
 def optimize(spark: SparkSession, index_dir: str) -> dict:
     """S8 optimize / force-merge analog (Indexing.java:167-179; Iceberg
-    rewrite_data_files analog): compact each table to one file per
-    bucket/partition-worth of data, preserving sort order inside the
-    postings and blocks buckets."""
+    rewrite_data_files analog): purge tombstoned rows from doc_store and
+    tokens, clear the tombstones, and rebuild postings + blocks into one
+    globally doc-sorted segment per bucket."""
     cat = Catalog(spark, index_dir)
-    n_buckets = cat.props()["n_buckets"]
-    compacted = {}
-    for table, keys in (("postings", ["term_id", "doc_id"]),
-                        ("blocks", ["term_id", "salt", "block_ord"])):
-        df = cat.read(table)
-        (df.repartition(n_buckets, "bucket")
-           .sortWithinPartitions(*keys)
-           .write.mode("overwrite").partitionBy("bucket")
-           .parquet(cat.path(f"_{table}_opt")))
-        import shutil
-        shutil.rmtree(cat.path(table), ignore_errors=True)
-        shutil.move(cat.path(f"_{table}_opt"), cat.path(table))
-        cat.commit_table(table, compacted=True)
-        compacted[table] = n_buckets
-    for table in ("doc_store", "tokens", "dictionary", "doc_norms"):
-        df = cat.read(table)
-        n = max(df.rdd.getNumPartitions() // 4, 1)
-        _swap_write(cat, df.coalesce(n), table)
-        cat.commit_table(table, compacted=True)
-        compacted[table] = n
-    cat.metric("optimize", **compacted)
-    return compacted
+    tomb = cat.tombstones()
+    n_dead = tomb.count() if tomb is not None else 0
+    if n_dead:
+        _swap_write(cat, live_store(cat), "doc_store")
+        cat.commit_table("doc_store")
+        _swap_write(cat, live_tokens(cat), "tokens")
+        cat.commit_table("tokens")
+        cat.clear_tombstones()
+        refresh_stats(spark, cat)
+    rebuild_postings_blocks(spark, cat)
+    out = {"purged_docs": n_dead,
+           "n_buckets": cat.props()["n_buckets"]}
+    cat.metric("optimize", **out)
+    return out
 
 
 # -------------------------------------------------------- formula documents

@@ -236,6 +236,9 @@ class Engine:
                                           set(clauses["term_id"])]))
             .select("term_id", "doc_id", "tf", "wsum", "dl")
         )
+        tomb = self.cat.tombstones()
+        if tomb is not None:
+            posts = posts.join(F.broadcast(tomb), "doc_id", "leftanti")
         j = posts.join(F.broadcast(cdf.drop("bucket")), "term_id")
         tfd = F.col("tf").cast("double")
         score = (
@@ -295,8 +298,17 @@ class Engine:
         # collect_list is over block-LEVEL stats (df/BLOCK_SIZE values per
         # term); if a term's block count itself becomes driver-hostile
         # (df >> 10^9), swap this agg for a bounded two-level top-n merge.
-        mrows = (bdf.groupBy("term_id").agg(
-            F.slice(F.sort_array(F.collect_list("max_score"), False),
+        # pack-time bounds rescaled to CURRENT stats PER BLOCK: score is
+        # linear in idf, so max_score * idf_fresh/idf0 is an exact bound
+        # even for stale segments (delta appends moved global df/N)
+        fresh_df = self.spark.createDataFrame(
+            clauses[["term_id", "idf"]].drop_duplicates("term_id"),
+            "term_id long, fidf double")
+        adj = (F.col("max_score") * F.col("fidf")
+               / F.greatest(F.col("idf0"), F.lit(1e-12)))
+        mrows = (bdf.join(F.broadcast(fresh_df), "term_id")
+                 .groupBy("term_id").agg(
+            F.slice(F.sort_array(F.collect_list(adj), False),
                     1, topn).alias("tops"),
             F.count("*").alias("nb"),
             F.min("first_doc").alias("blo"),
@@ -306,13 +318,20 @@ class Engine:
                 [], "doc_id long, score double")
         lo = min(int(r["blo"]) for r in mrows)
         hi = max(int(r["bhi"]) for r in mrows)
+        tomb = self.cat.tombstones()
+        dead = (np.sort(np.array(
+            [r["doc_id"] for r in tomb.collect()], dtype=np.int64))
+            if tomb is not None else None)
         theta = 0.0
-        if n_groups == 1:
+        # a tombstoned doc may be the block-max achiever, so the floor
+        # is only a valid lower bound on a CLEAN index; `optimize`
+        # restores pruning after deletes
+        if n_groups == 1 and (dead is None or len(dead) == 0):
             for r in mrows:
                 if int(r["nb"]) >= topn:
-                    theta = max(theta,
-                                r["tops"][topn - 1] * max_boost[r["term_id"]])
-        ub = {r["term_id"]: r["tops"][0] * max_boost[r["term_id"]]
+                    theta = max(theta, r["tops"][topn - 1]
+                                * max_boost[int(r["term_id"])])
+        ub = {int(r["term_id"]): r["tops"][0] * max_boost[int(r["term_id"])]
               for r in mrows}
         sum_ub = sum(ub.values())
 
@@ -323,9 +342,9 @@ class Engine:
                 [(t, float(rest[t]), float(max_boost[t])) for t in rest],
                 "term_id long, rest double, mboost double")
             bdf = (bdf.join(F.broadcast(rest_df), "term_id")
-                   .where(F.col("mboost") * F.col("max_score")
-                          + F.col("rest") >= theta)
-                   .drop("rest", "mboost"))
+                   .join(F.broadcast(fresh_df), "term_id")
+                   .where(F.col("mboost") * adj + F.col("rest") >= theta)
+                   .drop("rest", "mboost", "fidf"))
 
         # ---- doc-range sharding: each block joins every shard it spans
         span = max(hi - lo + 1, 1)
@@ -345,10 +364,10 @@ class Engine:
         withmeta = sharded.join(F.broadcast(cdf), "term_id")
         gmult = 1 << max(int(n_groups).bit_length(), 1)
         bc = self.spark.sparkContext.broadcast(
-            (cmap, n_groups, topn, lo, span, n_shards, gmult))
+            (cmap, n_groups, topn, lo, span, n_shards, gmult, dead))
 
         def kernel(batches):
-            cmap_l, ngroups, n_top, lo_l, span_l, ns, gm = bc.value
+            cmap_l, ngroups, n_top, lo_l, span_l, ns, gm, dead_l = bc.value
             acc_docs, acc_grps, acc_scores, order = [], [], [], []
             for pdf in batches:
                 for row in pdf.itertuples():
@@ -357,6 +376,11 @@ class Engine:
                         continue
                     docs, tfs, dls, ws = blk.unpack_block(row)
                     mask = ((docs - lo_l) * ns // span_l) == row.shard
+                    if dead_l is not None and len(dead_l):
+                        # liveDocs filter: drop tombstoned docs
+                        idx = np.searchsorted(dead_l, docs)
+                        idx[idx == len(dead_l)] = 0
+                        mask &= dead_l[idx] != docs
                     if not mask.any():
                         continue
                     docs, tfs, dls, ws = (docs[mask], tfs[mask],

@@ -141,3 +141,70 @@ def test_search_snippets_and_explain(spark, tiny_build):
     # explain covers both the text group and a math group clause
     assert any("einstein" in e for e in exps)
     assert any("pmath:" in e or "cmath:" in e for e in exps)
+
+
+def _file_set(path):
+    import os
+    out = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def test_delete_is_metadata_only_and_optimize_purges(spark, tmp_path):
+    """Segment model: delete moves NO posting data (tombstone +
+    stats refresh only); optimize purges tombstoned docs and restores a
+    clean single-segment layout — results stay oracle-identical
+    throughout."""
+    from mias_spark.ops import delete_by_path, optimize
+    c = corpus.make_corpus(70)
+    ix = str(tmp_path / "ixseg")
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng = Engine(spark, ix)
+    before_posts = _file_set(eng.cat.path("postings"))
+    before_blocks = _file_set(eng.cat.path("blocks"))
+    n = delete_by_path(spark, ix, "src/dir2/")
+    assert n > 0
+    # no posting/block files rewritten or removed
+    assert _file_set(eng.cat.path("postings")) == before_posts
+    assert _file_set(eng.cat.path("blocks")) == before_blocks
+    expected = c[~c["path"].str.startswith("src/dir2/")]
+    _check_query(spark, ix, expected)
+    _check_query(spark, ix, expected,
+                 query=corpus.render_math(corpus.EXACT_AST))
+    # blocks mode honors tombstones too
+    eng2 = Engine(spark, ix)
+    got = eng2.search("energy", k=10, mode="blocks", with_fields=False).hits
+    oidx = oracle.build_index(expected.reset_index(drop=True))
+    exp = oracle.search(oidx, "energy", k=10)
+    assert np.allclose(got["score"].astype(float),
+                       exp["score"].astype(float), atol=1e-6)
+    # optimize: purge + compact; tombstones gone, results identical
+    out = optimize(spark, ix)
+    assert out["purged_docs"] == n
+    eng3 = Engine(spark, ix)
+    assert eng3.cat.tombstones() is None
+    store_ids = {r["doc_id"] for r in
+                 eng3.cat.read("doc_store").select("doc_id").collect()}
+    post_ids = {r["doc_id"] for r in
+                eng3.cat.read("postings").select("doc_id")
+                .distinct().collect()}
+    assert post_ids <= store_ids
+    _check_query(spark, ix, expected)
+
+
+def test_upsert_appends_segments(spark, tmp_path):
+    """Upsert never rewrites existing posting segments — it appends."""
+    c = corpus.make_corpus(60)
+    ix = str(tmp_path / "ixapp")
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng = Engine(spark, ix)
+    before = _file_set(eng.cat.path("postings"))
+    extra = corpus.make_corpus(70).iloc[60:70]
+    upsert(spark, ix, spark.createDataFrame(extra))
+    after = _file_set(eng.cat.path("postings"))
+    assert before <= after and len(after) > len(before)
+    expected = pd.concat([c, extra], ignore_index=True)
+    _check_query(spark, ix, expected)
