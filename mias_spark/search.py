@@ -304,8 +304,10 @@ class Engine:
         fresh_df = self.spark.createDataFrame(
             clauses[["term_id", "idf"]].drop_duplicates("term_id"),
             "term_id long, fidf double")
+        if "idf0" not in bdf.columns:     # pre-idf0 index: scale = 1
+            bdf = bdf.withColumn("idf0", F.lit(None).cast("double"))
         adj = (F.col("max_score") * F.col("fidf")
-               / F.greatest(F.col("idf0"), F.lit(1e-12)))
+               / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
         mrows = (bdf.join(F.broadcast(fresh_df), "term_id")
                  .groupBy("term_id").agg(
             F.slice(F.sort_array(F.collect_list(adj), False),
