@@ -224,3 +224,33 @@ def test_skew_salting_rank_identical(spark, tmp_path, monkeypatch):
                 [int(d) for d in exp["doc_id"]], (q, mode)
             assert np.allclose(got["score"].astype(float),
                                exp["score"].astype(float), atol=1e-6)
+
+
+def test_randomized_query_fuzz_rank_identity(spark, tiny_build):
+    """Deterministic fuzz: random 1-3 term text queries (drawn from the
+    corpus vocabulary) + random math formulae — df plan, blocks plan and
+    the oracle must agree on every one."""
+    import numpy as np
+    from mias_spec import corpus as C
+    from mias_spec import queries as Q
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    rng = np.random.default_rng(1234)
+    vocab = C.VOCAB
+    queries = []
+    for i in range(12):
+        k = 1 + int(rng.integers(0, 3))
+        terms = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(k)]
+        queries.append(" ".join(terms))
+    for i in range(4):
+        queries.append(C.render_math(C.random_ast(int(rng.integers(0, 500)),
+                                                  1)))
+    for q in queries:
+        exp = O.search(oidx, q, "BOTH", 10)
+        for mode in ("df", "blocks"):
+            got = eng.search(q, k=10, mode=mode, with_fields=False).hits
+            assert [int(d) for d in got["doc_id"]] == \
+                [int(d) for d in exp["doc_id"]], (q[:60], mode)
+            assert np.allclose(got["score"].astype(float),
+                               exp["score"].astype(float), atol=1e-6), \
+                (q[:60], mode)
