@@ -209,6 +209,7 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
 
     n_new = new_corpus.count()
     cat.metric("upsert", added=n_new, replaced=n_replaced)
+    maybe_compact(spark, index_dir)
     return {"added": n_new, "replaced": n_replaced}
 
 
@@ -231,6 +232,7 @@ def delete_by_path(spark: SparkSession, index_dir: str,
     refresh_stats(spark, cat)
     cat.flush_meta()
     cat.metric("delete", removed=n, path_prefix=path_prefix)
+    maybe_compact(spark, index_dir)
     return n
 
 
@@ -245,6 +247,27 @@ def _swap_write(cat: Catalog, df: DataFrame, table: str) -> None:
 
 
 # ------------------------------------------------------------------ optimize
+
+TOMBSTONE_COMPACT_RATIO = 0.25
+
+
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  ratio: float = TOMBSTONE_COMPACT_RATIO) -> bool:
+    """Merge-policy analog: compact when tombstoned docs exceed
+    ``ratio`` of the live set (reclaims space and re-arms the block-max
+    pruning floor, which is disabled while tombstones exist)."""
+    cat = Catalog(spark, index_dir)
+    tomb = cat.tombstones()
+    if tomb is None:
+        return False
+    n_dead = tomb.count()
+    if n_dead == 0:
+        return False
+    n_live = live_store(cat).count()
+    if n_dead <= ratio * max(n_live, 1):
+        return False
+    optimize(spark, index_dir)
+    return True
 
 def optimize(spark: SparkSession, index_dir: str) -> dict:
     """S8 optimize / force-merge analog (Indexing.java:167-179; Iceberg

@@ -208,3 +208,29 @@ def test_upsert_appends_segments(spark, tmp_path):
     assert before <= after and len(after) > len(before)
     expected = pd.concat([c, extra], ignore_index=True)
     _check_query(spark, ix, expected)
+
+
+def test_auto_compaction_trigger(spark, tmp_path):
+    """Merge-policy: a delete pushing tombstones past the ratio
+    triggers compaction automatically (tombstones cleared, results
+    unchanged); small deletes stay metadata-only."""
+    from mias_spark.ops import delete_by_path
+    c = corpus.make_corpus(60)
+    ix = str(tmp_path / "ixauto")
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng = Engine(spark, ix)
+    # src/dir0..dir10 each hold ~5-6 of 60 docs (~9%) -> no compaction
+    n1 = delete_by_path(spark, ix, "src/dir5/")
+    assert n1 > 0
+    assert Engine(spark, ix).cat.tombstones() is not None
+    # delete several more prefixes to cross the 25% ratio
+    ns = [delete_by_path(spark, ix, p)
+          for p in ("src/dir1/", "src/dir2/", "src/dir3/")]
+    cat2 = Engine(spark, ix).cat
+    # compaction fired somewhere in the sequence: an optimize metric
+    # exists and the residual tombstones are at most the LAST delete's
+    assert any(x["stage"] == "optimize" for x in cat2.manifest()["metrics"])
+    tomb = cat2.tombstones()
+    assert tomb is None or tomb.count() <= ns[-1]
+    expected = c[~c["path"].str.contains("src/dir[1235]/", regex=True)]
+    _check_query(spark, ix, expected)
