@@ -240,11 +240,15 @@ _SHINGLES_SQL = f"""
 
 
 def dedup_minhash(spark, sf_dir):
-    """MinHash + LSH banding: per-doc signature = min(md5(seed||shingle))
-    per seed; 4 bands of 2 -> candidate pairs sharing >=1 band."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("sh"))))
-            .alias(f"h{j}") for j in range(_N_HASH)]
+    """MinHash + LSH banding: ONE md5 per shingle, its 32-hex digest
+    sliced into 8 independent 4-hex lanes (one-permutation-hashing
+    style — 8x less hashing than seed-prefixed md5s); per-doc signature
+    = per-lane min; 4 bands of 2 -> candidate pairs sharing >=1 band."""
+    sh = (_shingles(spark, sf_dir)
+          .withColumn("h", F.concat(F.md5("sh"),
+                                    F.md5(F.concat(F.lit("x"), "sh")))))
+    aggs = [F.min(F.substring("h", 8 * j + 1, 8)).alias(f"h{j}")
+            for j in range(_N_HASH)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     bands = sig.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -262,12 +266,13 @@ def dedup_minhash(spark, sf_dir):
 
 
 _SIG_COLS = ", ".join(
-    f"min(md5('s{j}:' || sh)) AS h{j}" for j in range(_N_HASH))
+    f"min(substring(h, {8 * j + 1}, 8)) AS h{j}" for j in range(_N_HASH))
 _BAND_SELECTS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
     for b in range(_N_HASH // 2))
 DEDUP_MINHASH_SQL = f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+    WITH shingles AS (SELECT doc_id, md5(sh) || md5('x' || sh) AS h
+                      FROM ({_SHINGLES_SQL})),
     sig AS (SELECT doc_id, {_SIG_COLS} FROM shingles GROUP BY doc_id),
     bands AS ({_BAND_SELECTS})
     SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
