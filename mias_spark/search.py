@@ -70,13 +70,14 @@ class Engine:
         # dbucket (tiny local job, no table scan) and read only those
         # partitions — |query terms| buckets instead of the full
         # dictionary (build.py _dbucket; 10^9 terms at target scale)
-        from mias_spark.build import _dbucket
+        from mias_spark.build import N_DICT_BUCKETS
+        from mias_spark.hashing import dbucket_py
         dic = self.cat.read("dictionary")
         if "dbucket" in dic.columns:
-            pair_rows = self.spark.createDataFrame(
-                pairs, "field string, term string") \
-                .withColumn("dbucket", _dbucket()).collect()
-            dbuckets = sorted({int(r["dbucket"]) for r in pair_rows})
+            # pure-Python xxh64 == F.xxhash64 bit-for-bit: the bucket
+            # keys cost zero Spark jobs
+            dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
+                               for f, t in pairs})
             dic = dic.where(F.col("dbucket").isin(dbuckets))
         cond = F.concat_ws("\x00", "field", "term").isin(
             ["\x00".join(p) for p in pairs])

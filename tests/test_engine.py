@@ -254,3 +254,21 @@ def test_randomized_query_fuzz_rank_identity(spark, tiny_build):
             assert np.allclose(got["score"].astype(float),
                                exp["score"].astype(float), atol=1e-6), \
                 (q[:60], mode)
+
+
+def test_python_xxh64_matches_spark(spark):
+    """hashing.dbucket_py must agree with the build-side F.xxhash64
+    expression for every dictionary partition decision."""
+    from pyspark.sql import functions as F
+
+    from mias_spark.build import N_DICT_BUCKETS, _dbucket
+    from mias_spark.hashing import dbucket_py, spark_xxhash64_strings
+    pairs = [("content", "energy"), ("title", ""), ("pmath", "r(i:§v)"),
+             ("cmath", "x" * 100), ("content", "日本語"),
+             ("f", "0123456789abcdef" * 3)]
+    rows = (spark.createDataFrame(pairs, "field string, term string")
+            .withColumn("h", F.xxhash64("field", "term"))
+            .withColumn("b", _dbucket()).collect())
+    for r in rows:
+        assert spark_xxhash64_strings([r["field"], r["term"]]) == r["h"]
+        assert dbucket_py(r["field"], r["term"], N_DICT_BUCKETS) == r["b"]
