@@ -89,23 +89,6 @@ def _math_formula_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_formula_docs(spark.createDataFrame(make_corpus(200)))
 
 
-def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Arrow-batched media feature extraction over synthetic
-    binary blobs (decode stubbed — container has no codec libs; the
-    Spark plumbing is real, see pipelines/multimodal.py)."""
-    from mias_spark.pipelines.multimodal import make_media, media_features
-
-    return media_features(make_media(spark, 300))
-
-
-def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: video frame sampling (explode over typed metadata
-    parsed from the binary header)."""
-    from mias_spark.pipelines.multimodal import frame_sample, make_media
-
-    return frame_sample(make_media(spark, 300), every=25)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
@@ -113,8 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["math_mterm_annotate"] = _math_mterms
     out["math_search_topk"] = _math_search_topk
     out["math_formula_docs"] = _math_formula_docs
-    out["mm_features"] = _mm_features
-    out["mm_frame_sample"] = _mm_frame_sample
     return out
 
 

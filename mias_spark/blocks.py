@@ -38,8 +38,8 @@ from mias_spec.constants import BLOCK_SIZE, BM25_B, BM25_K1
 
 BLOCKS_SCHEMA = (
     "term_id long, salt int, block_ord int, n_docs int, first_doc long, "
-    "last_doc long, max_score double, idf0 double, doc_bytes binary, "
-    "tf_bytes binary, dl_bytes binary, w_bytes binary"
+    "last_doc long, max_score double, idf0 double, avgdl0 double, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, w_bytes binary"
 )
 
 
@@ -51,8 +51,8 @@ def _bm25_vec(tf: np.ndarray, dl: np.ndarray, idf, avgdl) -> np.ndarray:
 
 
 _COLS = ["term_id", "salt", "block_ord", "n_docs", "first_doc",
-         "last_doc", "max_score", "idf0", "doc_bytes", "tf_bytes",
-         "dl_bytes", "w_bytes"]
+         "last_doc", "max_score", "idf0", "avgdl0", "doc_bytes",
+         "tf_bytes", "dl_bytes", "w_bytes"]
 
 
 def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
@@ -109,11 +109,16 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
         "n_docs": (bend - bstart).astype(np.int32),
         "first_doc": docs[bstart], "last_doc": docs[bend - 1],
         "max_score": max_score,
-        # idf at pack time: score is LINEAR in idf, so query-time
-        # pruning rescales max_score by idf_fresh/idf0 — keeps block-max
-        # bounds exact even when global stats moved under an incremental
-        # (bucket-scoped) rebuild
+        # stats snapshot at pack time: score is LINEAR in idf, so
+        # query-time pruning rescales max_score by idf_fresh/idf0
+        # exactly; it is NOT linear in avgdl, so avgdl drift is bounded
+        # conservatively instead — upper bounds × max(1, avgdl_f/avgdl0),
+        # theta floor × min(1, avgdl_f/avgdl0) (score(avgdl_f)/score(
+        # avgdl0) lies between those ratios for every tf, dl — the
+        # denominators (A + C/a) shift toward 1 as the constant part A
+        # grows). See search._topk_blocks.
         "idf0": idf[bstart],
+        "avgdl0": avgdl[bstart],
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes, "dl_bytes": dl_bytes, "w_bytes": w_bytes,
     }, columns=_COLS)

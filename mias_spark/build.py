@@ -81,9 +81,13 @@ def build_index(
     if not cat.table_done("tokens"):
         ts = time.time()
         docs = cat.read("doc_store").select("doc_id", "content", "lang")
-        # Arrow-UDF stage: byte-aware 4x oversubscription (parallel.py)
+        # Arrow-UDF stage: byte-aware 4x oversubscription (parallel.py).
+        # Partitioned by doc-range (tseg) so upsert/delete stats deltas
+        # prune their dead-doc scans to the segments actually touched.
+        from mias_spark.ops import _tseg
         toks = tokenize_docs(ensure_udf_parallelism(docs))
-        cat.write(toks, "tokens")
+        cat.write(toks.withColumn("tseg", _tseg()), "tokens",
+                  partition_by=["tseg"])
         cat.commit_table("tokens")
         cat.metric("tokens", secs=time.time() - ts)
 
@@ -100,9 +104,11 @@ def build_index(
         cat.write(norms, "doc_norms")
         stats = (cat.read("doc_norms").groupBy("field")
                  .agg(F.count("*").alias("n_docs"),
-                      F.avg("dl").alias("avgdl")).collect())
+                      F.avg("dl").alias("avgdl"),
+                      F.sum("dl").alias("sum_dl")).collect())
         cat.set_props(field_stats={
-            r["field"]: {"n_docs": r["n_docs"], "avgdl": r["avgdl"]}
+            r["field"]: {"n_docs": r["n_docs"], "avgdl": r["avgdl"],
+                         "sum_dl": float(r["sum_dl"])}
             for r in stats})
         cat.commit_table("doc_norms")
         cat.metric("doc_norms", secs=time.time() - ts)
@@ -119,6 +125,7 @@ def build_index(
         # dictionary (10^9 terms at target scale)
         dic = dic.withColumn("dbucket", _dbucket())
         cat.write(dic, "dictionary", partition_by=["dbucket"])
+        cat.set_props(next_term_id=int(n))   # delta-append high-water mark
         cat.commit_table("dictionary", rows=n)
         cat.metric("dictionary", rows=n, secs=time.time() - ts)
 

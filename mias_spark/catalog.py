@@ -63,8 +63,48 @@ class Catalog:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(table))
+
+    def read_dictionary(self) -> DataFrame:
+        """Merged dictionary view over the base + appended delta
+        segments: df is ADDITIVE (upserts append positive rows for new
+        postings and negative rows for replaced/deleted docs' terms), so
+        the live df is the per-(field, term) sum. term_id rides on every
+        segment row unchanged. On a freshly-built index this is a
+        no-op-shaped agg over unique keys; incremental readers (query
+        compile) aggregate only the dbucket partitions they pruned to."""
+        from pyspark.sql import functions as F
+        return (self.read("dictionary")
+                .groupBy("field", "term", "term_id", "dbucket")
+                .agg(F.sum("df").alias("df")))
+
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_by: list[str] | None = None) -> None:
+        """Overwrite a table we may also be reading from: stage to a
+        temp location, then atomically swap (the Iceberg
+        snapshot-replace analog — `writeTo(t).createOrReplace()` on a
+        real catalog). ALL filesystem manipulation lives here, so the
+        object-store port touches exactly one class."""
+        import shutil
+        tmp = self.path(f"_{table.replace('/', '_')}_new")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(self.path(table), ignore_errors=True)
+        shutil.move(tmp, self.path(table))
+
+    def append(self, df: DataFrame, table: str,
+               partition_by: list[str] | None = None) -> None:
+        """Append a delta segment (Iceberg append-snapshot analog)."""
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
 
     def commit_table(self, table: str, rows: int | None = None, **extra) -> None:
         m = self.manifest()

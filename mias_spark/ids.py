@@ -34,10 +34,21 @@ def _with_dense_ids(df: DataFrame, pid_col, order_cols: list[str],
                     id_col: str, n_part: int) -> tuple[DataFrame, int]:
     spark = df.sparkSession
     withpid = df.withColumn("_pid", pid_col)
-    counts = {
-        r["_pid"]: r["cnt"] for r in
-        withpid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    # duplicate keys would make the (key, id) mapping many-to-many and
+    # multiply rows on the join-back — fail fast with MERGE semantics
+    # (the Delta/Iceberg "multiple source rows matched" contract). The
+    # check rides the offsets agg: _pid is a pure function of the key,
+    # so per-partition distinct counts sum to the global distinct count.
+    crows = (withpid.groupBy("_pid")
+             .agg(F.count("*").alias("cnt"),
+                  F.countDistinct(*order_cols).alias("dcnt"))
+             .collect())
+    n_dup = sum(r["cnt"] - r["dcnt"] for r in crows)
+    if n_dup:
+        raise ValueError(
+            f"{n_dup} duplicate key rows in id-assignment input "
+            f"(key={order_cols}); dedupe the corpus/delta batch first")
+    counts = {r["_pid"]: r["cnt"] for r in crows}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

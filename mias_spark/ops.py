@@ -54,46 +54,146 @@ def live_store(cat: Catalog) -> DataFrame:
     return store if tomb is None else store.join(tomb, "doc_id", "leftanti")
 
 
+# ---------------------------------------------- incremental stats (delta)
+#
+# Upsert/delete cost must scale with the DELTA, never the index
+# (VERDICT r1 #5): the dictionary is base + appended signed-df delta
+# segments merged at read (catalog.read_dictionary), doc_norms is
+# append-only with tombstone filtering at read, and per-field stats
+# (n_docs, sum_dl -> avgdl) update arithmetically in the manifest.
+# `optimize` folds everything back into a clean base (rebuild_stats).
+
+TSEG_SHIFT = 20   # tokens partitioned by doc_id >> TSEG_SHIFT: dead-doc
+                  # partials prune the scan to the doc-range partitions
+                  # actually holding the replaced/deleted ids
+
+
+def _tseg():
+    return F.shiftright("doc_id", TSEG_SHIFT).alias("tseg")
+
+
+def _field_stats(cat: Catalog) -> dict:
+    fs = {k: dict(v) for k, v in cat.props()["field_stats"].items()}
+    for v in fs.values():                    # backfill pre-sum_dl indexes
+        v.setdefault("sum_dl", float(v["avgdl"]) * int(v["n_docs"]))
+    return fs
+
+
+def _apply_stats_delta(cat: Catalog, plus: dict, minus: dict) -> None:
+    """plus/minus: field -> (n_docs, sum_dl). Arithmetic update of the
+    per-field stats — no full norms re-aggregation."""
+    fs = _field_stats(cat)
+    for f in set(plus) | set(minus):
+        e = fs.setdefault(f, {"n_docs": 0, "avgdl": 0.0, "sum_dl": 0.0})
+        pn, ps = plus.get(f, (0, 0.0))
+        mn, ms = minus.get(f, (0, 0.0))
+        e["n_docs"] = int(e["n_docs"]) + pn - mn
+        e["sum_dl"] = float(e["sum_dl"]) + ps - ms
+        e["avgdl"] = e["sum_dl"] / e["n_docs"] if e["n_docs"] else 0.0
+    cat.set_props(field_stats=fs)
+
+
+def _norm_stats(norms: DataFrame) -> dict:
+    return {r["field"]: (int(r["n"]), float(r["s"])) for r in
+            norms.groupBy("field")
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+            .collect()}
+
+
+def _dead_partials(spark: SparkSession, cat: Catalog, doomed: DataFrame
+                   ) -> tuple[DataFrame, dict]:
+    """(negative dictionary-df rows, per-field minus stats) for a set
+    of doomed doc_ids. The tokens scan is pruned to the doc-range
+    (tseg) partitions containing the doomed ids; the number of segments
+    bounds the driver collect, not the number of docs."""
+    toks = cat.read("tokens", merge_schema=True)
+    if "tseg" in toks.columns:
+        segs = [int(r[0]) for r in
+                doomed.select(F.shiftright("doc_id", TSEG_SHIFT)
+                              .alias("s")).distinct().collect()]
+        toks = toks.where(F.col("tseg").isin(segs))
+    dead = toks.join(doomed.select("doc_id"), "doc_id", "leftsemi")
+    ddf = dead.groupBy("field", "term").agg((-F.count("*")).alias("df"))
+    # dl fallback for pre-dl token segments (ADVICE r1): sum(tf) == dl
+    dnorm = dead.groupBy("doc_id", "field").agg(
+        F.coalesce(F.max("dl"), F.sum("tf")).alias("dl"))
+    return ddf, _norm_stats(dnorm)
+
+
+def _append_dictionary_delta(spark: SparkSession, cat: Catalog,
+                             ddf: DataFrame) -> None:
+    """Append signed df delta rows to the dictionary. Existing terms
+    reuse their term_id via a MERGE-style lookup pruned to the delta's
+    dbucket partitions; brand-new terms get fresh dense ids from the
+    next_term_id high-water mark (no full-dictionary max() scan)."""
+    from mias_spark.build import _dbucket
+    ddf = ddf.withColumn("dbucket", _dbucket())
+    bks = [int(r[0]) for r in ddf.select("dbucket").distinct().collect()]
+    merged = (cat.read("dictionary")
+              .where(F.col("dbucket").isin(bks))
+              .groupBy("field", "term").agg(F.first("term_id")
+                                            .alias("term_id")))
+    joined = ddf.join(merged, ["field", "term"], "left")
+    known = joined.where(F.col("term_id").isNotNull())
+    cat.append(known.select("field", "term", "df", "term_id", "dbucket"),
+               "dictionary", ["dbucket"])
+    new_terms = joined.where(F.col("term_id").isNull()).drop("term_id")
+    if new_terms.limit(1).count():
+        next_id = cat.props().get("next_term_id")
+        if next_id is None:   # pre-counter index: one-time backfill
+            next_id = (cat.read("dictionary").agg(F.max("term_id"))
+                       .collect()[0][0] or -1) + 1
+        new_ids, n_new = assign_ids_hashed(new_terms, ["field", "term"],
+                                           "term_id")
+        new_ids = new_ids.withColumn("term_id", F.col("term_id") + next_id)
+        cat.append(new_ids.select("field", "term", "df", "term_id",
+                                  "dbucket"), "dictionary", ["dbucket"])
+        cat.set_props(next_term_id=int(next_id) + int(n_new))
+    cat.commit_table("dictionary")
+
+
 # ------------------------------------------------------------ stats refresh
 
-def refresh_stats(spark: SparkSession, cat: Catalog) -> None:
-    """Rebuild the NARROW global-statistics tables from live tokens:
-    doc_norms, per-field stats, dictionary df (term_ids preserved, new
-    terms appended). This is the only non-delta work an upsert/delete
-    does — queries read these fresh, so stale per-row stats columns in
-    old posting segments never affect results."""
+def rebuild_stats(spark: SparkSession, cat: Catalog) -> None:
+    """FULL rebuild of the narrow statistics surfaces from live tokens
+    — the compaction path (optimize); incremental upsert/delete use the
+    delta functions above instead. term_ids are preserved; the
+    dictionary's delta segments fold into a clean base."""
     toks = live_tokens(cat)
 
-    norms = toks.groupBy("doc_id", "field").agg(F.first("dl").alias("dl"))
-    cat.write(norms, "doc_norms")
+    norms = toks.groupBy("doc_id", "field").agg(
+        F.coalesce(F.max("dl"), F.sum("tf")).alias("dl"))
+    cat.overwrite(norms, "doc_norms")
     stats = (cat.read("doc_norms").groupBy("field")
-             .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+             .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+                  F.sum("dl").alias("sum_dl"))
              .collect())
     cat.set_props(field_stats={
-        r["field"]: {"n_docs": r["n_docs"], "avgdl": r["avgdl"]}
+        r["field"]: {"n_docs": r["n_docs"], "avgdl": r["avgdl"],
+                     "sum_dl": float(r["sum_dl"])}
         for r in stats})
     cat.commit_table("doc_norms")
 
     fresh_df = toks.groupBy("field", "term").agg(F.count("*").alias("df"))
-    old = cat.read("dictionary").select("field", "term", "term_id")
+    old = cat.read_dictionary().select("field", "term", "term_id")
     joined = fresh_df.join(old, ["field", "term"], "left")
     kept = joined.where(F.col("term_id").isNotNull())
     new_terms = joined.where(F.col("term_id").isNull()).drop("term_id")
-    next_id = (old.agg(F.max("term_id")).collect()[0][0] or -1) + 1
+    next_id = cat.props().get("next_term_id")
+    if next_id is None:
+        next_id = (old.agg(F.max("term_id")).collect()[0][0] or -1) + 1
     if new_terms.limit(1).count():
-        new_ids, _n = assign_ids_hashed(new_terms, ["field", "term"],
-                                        "term_id")
+        new_ids, n_new = assign_ids_hashed(new_terms, ["field", "term"],
+                                           "term_id")
         new_ids = new_ids.withColumn("term_id", F.col("term_id") + next_id)
         dic = kept.unionByName(new_ids)
+        next_id = int(next_id) + int(n_new)
     else:
         dic = kept
     from mias_spark.build import _dbucket
-    (dic.withColumn("dbucket", _dbucket())
-        .write.mode("overwrite").partitionBy("dbucket")
-        .parquet(cat.path("_dictionary_new")))
-    import shutil
-    shutil.rmtree(cat.path("dictionary"), ignore_errors=True)
-    shutil.move(cat.path("_dictionary_new"), cat.path("dictionary"))
+    cat.overwrite(dic.withColumn("dbucket", _dbucket()), "dictionary",
+                  ["dbucket"])
+    cat.set_props(next_term_id=int(next_id))
     n_terms = cat.read("dictionary").count()
     cat.commit_table("dictionary", rows=n_terms)
 
@@ -107,7 +207,7 @@ def _posting_rows(spark: SparkSession, cat: Catalog, toks: DataFrame,
         [(f, int(v["n_docs"]), float(v["avgdl"])) for f, v in fs.items()],
         "field string, n_docs long, avgdl double")
     return (
-        toks.join(cat.read("dictionary"), ["field", "term"])
+        toks.join(cat.read_dictionary().drop("dbucket"), ["field", "term"])
         .join(F.broadcast(stats_df), "field")
         .withColumn("idf", F.log(
             F.lit(1.0)
@@ -124,13 +224,10 @@ def rebuild_postings_blocks(spark: SparkSession, cat: Catalog) -> None:
     n_buckets = cat.props()["n_buckets"]
     posts = _posting_rows(spark, cat, live_tokens(cat), n_buckets)
     n_out = max(n_buckets, 2 * spark.sparkContext.defaultParallelism)
-    (posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
-          .sortWithinPartitions("term_id", "doc_id")
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(cat.path("_postings_new")))
-    import shutil
-    shutil.rmtree(cat.path("postings"), ignore_errors=True)
-    shutil.move(cat.path("_postings_new"), cat.path("postings"))
+    cat.overwrite(
+        posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
+             .sortWithinPartitions("term_id", "doc_id"),
+        "postings", ["bucket"])
     cat.commit_table("postings", rows=cat.read("postings").count())
 
     from mias_spark.build import build_blocks
@@ -138,8 +235,7 @@ def rebuild_postings_blocks(spark: SparkSession, cat: Catalog) -> None:
     m["checkpoints"] = {k: v for k, v in m["checkpoints"].items()
                         if not k.startswith("blocks/")}
     cat._save(m)
-    import shutil as _sh
-    _sh.rmtree(cat.path("blocks"), ignore_errors=True)
+    cat.drop("blocks")
     build_blocks(spark, cat, n_buckets)
     cat.commit_table("blocks")
     cat.flush_meta()
@@ -149,39 +245,57 @@ def rebuild_postings_blocks(spark: SparkSession, cat: Catalog) -> None:
 
 def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     """MERGE INTO semantics on doc_key: replace matching docs, add the
-    rest (B6). Pure delta work: replaced docs are TOMBSTONED, new docs
-    are tokenized and APPENDED as fresh segments to doc_store, tokens,
-    postings and blocks; only the narrow stats tables are recomputed."""
+    rest (B6). Pure delta work: replaced docs are TOMBSTONED (their
+    stats contributions subtracted via a doc-range-pruned partial
+    scan), new docs are tokenized and APPENDED as fresh segments to
+    doc_store, tokens, doc_norms, dictionary (signed-df delta rows),
+    postings and blocks. NOTHING is re-aggregated over the whole index
+    — upsert wall time scales with the delta, not the index."""
     cat = Catalog(spark, index_dir)
     keyed = new_corpus.withColumn(
         "doc_key", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
     store = cat.read("doc_store")
-    (live_store(cat).join(keyed.select("doc_key"), "doc_key", "leftsemi")
-     .select("doc_id", "doc_key")
-     .write.mode("overwrite").parquet(cat.path("_staging_replaced")))
-    replaced = spark.read.parquet(cat.path("_staging_replaced"))
+    cat.write(
+        live_store(cat).join(keyed.select("doc_key"), "doc_key", "leftsemi")
+        .select("doc_id", "doc_key"), "_staging_replaced")
+    replaced = cat.read("_staging_replaced")
     n_replaced = replaced.count()
     next_doc = (store.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
-    cat.add_tombstones(replaced)
+    dead_ddf, minus = None, {}
+    if n_replaced:
+        # pure-append upserts must NOT materialize an empty tombstones
+        # table: its mere existence adds tombstone jobs to every search
+        # and disables the block-max pruning floor
+        cat.add_tombstones(replaced)
+        dead_ddf, minus = _dead_partials(spark, cat, replaced)
 
     new_docs, _n = assign_ids_hex(keyed, "doc_key", "doc_id")
     new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + next_doc)
     new_store = with_meta(new_docs).withColumn(
         "id", F.coalesce("arxiv_id", "doc_key"))
     # stage the delta once; everything below appends from this segment
-    new_store.select(*store.columns).write.mode("overwrite") \
-        .parquet(cat.path("_staging_delta_store"))
-    delta_store = spark.read.parquet(cat.path("_staging_delta_store"))
-    delta_store.write.mode("append").parquet(cat.path("doc_store"))
+    cat.write(new_store.select(*store.columns), "_staging_delta_store")
+    delta_store = cat.read("_staging_delta_store")
+    cat.append(delta_store, "doc_store")
     cat.commit_table("doc_store")
 
     new_toks = tokenize_docs(delta_store.select("doc_id", "content", "lang"))
-    new_toks.write.mode("overwrite").parquet(cat.path("_staging_delta_toks"))
-    delta_toks = spark.read.parquet(cat.path("_staging_delta_toks"))
-    delta_toks.write.mode("append").parquet(cat.path("tokens"))
+    cat.write(new_toks, "_staging_delta_toks")
+    delta_toks = cat.read("_staging_delta_toks")
+    cat.append(delta_toks.withColumn("tseg", _tseg()), "tokens", ["tseg"])
     cat.commit_table("tokens")
 
-    refresh_stats(spark, cat)     # norms, field stats, dictionary df
+    # ---- incremental narrow-stats maintenance (delta-only work)
+    delta_norms = delta_toks.groupBy("doc_id", "field").agg(
+        F.first("dl").alias("dl"))
+    cat.append(delta_norms, "doc_norms")
+    _apply_stats_delta(cat, _norm_stats(delta_norms), minus)
+    cat.commit_table("doc_norms")
+    delta_df = delta_toks.groupBy("field", "term").agg(
+        F.count("*").alias("df"))
+    if dead_ddf is not None:
+        delta_df = delta_df.unionByName(dead_ddf)
+    _append_dictionary_delta(spark, cat, delta_df)
 
     # delta posting + block segments (new docs only — the appended block
     # segments carry CURRENT idf0; old segments rescale at query time)
@@ -221,29 +335,20 @@ def delete_by_path(spark: SparkSession, index_dir: str,
     only — tombstones + stats refresh; no posting data moves (Lucene
     liveDocs semantics; `optimize` reclaims the space)."""
     cat = Catalog(spark, index_dir)
-    (live_store(cat).where(F.col("path").startswith(path_prefix))
-     .select("doc_id")
-     .write.mode("overwrite").parquet(cat.path("_staging_doomed")))
-    doomed = spark.read.parquet(cat.path("_staging_doomed"))
+    cat.write(live_store(cat).where(F.col("path").startswith(path_prefix))
+              .select("doc_id"), "_staging_doomed")
+    doomed = cat.read("_staging_doomed")
     n = doomed.count()
     if n == 0:
         return 0
+    ddf, minus = _dead_partials(spark, cat, doomed)
     cat.add_tombstones(doomed)
-    refresh_stats(spark, cat)
+    _append_dictionary_delta(spark, cat, ddf)
+    _apply_stats_delta(cat, {}, minus)
     cat.flush_meta()
     cat.metric("delete", removed=n, path_prefix=path_prefix)
     maybe_compact(spark, index_dir)
     return n
-
-
-def _swap_write(cat: Catalog, df: DataFrame, table: str) -> None:
-    """Overwrite a table we are also reading from: stage + atomic move
-    (Iceberg snapshot-swap analog)."""
-    import shutil
-    tmp = cat.path(f"_{table}_new")
-    df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(cat.path(table), ignore_errors=True)
-    shutil.move(tmp, cat.path(table))
 
 
 # ------------------------------------------------------------------ optimize
@@ -278,12 +383,13 @@ def optimize(spark: SparkSession, index_dir: str) -> dict:
     tomb = cat.tombstones()
     n_dead = tomb.count() if tomb is not None else 0
     if n_dead:
-        _swap_write(cat, live_store(cat), "doc_store")
+        cat.overwrite(live_store(cat), "doc_store")
         cat.commit_table("doc_store")
-        _swap_write(cat, live_tokens(cat), "tokens")
+        cat.overwrite(live_tokens(cat).withColumn("tseg", _tseg()),
+                      "tokens", ["tseg"])
         cat.commit_table("tokens")
         cat.clear_tombstones()
-        refresh_stats(spark, cat)
+    rebuild_stats(spark, cat)   # folds dictionary deltas into the base
     rebuild_postings_blocks(spark, cat)
     out = {"purged_docs": n_dead,
            "n_buckets": cat.props()["n_buckets"]}

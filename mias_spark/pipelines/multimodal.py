@@ -62,16 +62,19 @@ def make_media(spark: SparkSession, n: int) -> DataFrame:
 
 def media_metadata(media: DataFrame) -> DataFrame:
     """Typed metadata parsed from the binary header with NATIVE column
-    functions only — stays in whole-stage codegen, no Python."""
+    functions only — stays in whole-stage codegen, no Python. Everything
+    (incl. kind) comes from the blob itself, so any (media_id, blob)
+    frame works."""
     def field(start: int, length: int):
         return F.expr(
             f"cast(cast(substring(blob, {start}, {length}) as string) "
             "as long)")
 
     return media.select(
-        "media_id", "kind", "mime",
+        "media_id",
         F.length("blob").alias("n_bytes"),
         F.expr("cast(substring(blob, 1, 4) as string)").alias("magic"),
+        F.expr("cast(substring(blob, 5, 2) as string)").alias("kind"),
         field(7, 6).alias("width"),
         field(13, 6).alias("height"),
         field(19, 4).alias("n_frames"),
@@ -99,7 +102,10 @@ def decode_media(blob: bytes, real: bool = False) -> np.ndarray:
 def media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction: blob -> fixed-size float vector
     (the embedding-extraction stage of a training pipeline; decode step
-    stubbed per module docstring)."""
+    stubbed per module docstring). Features come back as SCALAR columns
+    f0..f7 (not array<double>) so downstream frames stay
+    sortable/hashable — and so the DuckDB oracle can reproduce the
+    md5-stream fake column by column."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -107,19 +113,19 @@ def media_features(media: DataFrame) -> DataFrame:
             for blob in pdf["blob"]:
                 samples = decode_media(bytes(blob))
                 chunks = np.array_split(samples, N_FEATURES)
-                feats.append(np.array(
-                    [float(c.mean()) for c in chunks], dtype=np.float64))
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "features": feats,
-                "feat_norm": [round(float(np.linalg.norm(f)), 4)
-                              for f in feats],
-            })
+                feats.append([float(c.mean()) for c in chunks])
+            fa = np.asarray(feats, dtype=np.float64) if feats else \
+                np.empty((0, N_FEATURES))
+            out = {"media_id": pdf["media_id"]}
+            for j in range(N_FEATURES):
+                out[f"f{j}"] = np.round(fa[:, j], 4)
+            out["feat_norm"] = np.round(
+                np.sqrt((fa * fa).sum(axis=1)), 4)
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(
-        fn, "media_id long, kind string, features array<double>, "
-            "feat_norm double")
+    fcols = ", ".join(f"f{j} double" for j in range(N_FEATURES))
+    return media.select("media_id", "blob").mapInPandas(
+        fn, f"media_id long, {fcols}, feat_norm double")
 
 
 def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:

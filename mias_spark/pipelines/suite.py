@@ -189,6 +189,78 @@ def ir_bm25_conjunctive(spark, sf_dir):
 IR_BM25_CONJUNCTIVE_SQL = _bm25_sql(["spark", "join"], True)
 
 
+def ir_phrase(spark, sf_dir):
+    """Q3 phrase query over the documents table: docs where 'table'
+    is immediately followed by 'part' at consecutive analyzer positions
+    (positions assigned AFTER stopword removal — the engine's
+    PhraseClause spec); BM25 with tf = phrase occurrences and idf =
+    sum of the constituent idfs (Lucene PhraseQuery convention)."""
+    import math
+    t1, t2 = "table", "part"
+    stop = sorted(s.strip("'") for s in STOP_SQL.split(", "))
+    raw = (_docs(spark, sf_dir)
+           .select("doc_id", F.posexplode(
+               F.split(F.lower("text"), TOKEN_SPLIT)).alias("p", "term"))
+           .where((F.col("term") != "") & ~F.col("term").isin(stop)))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    post = raw.withColumn("pos", F.row_number().over(w))
+    a = post.where(F.col("term") == t1).select("doc_id", "pos")
+    b = post.where(F.col("term") == t2).select(
+        "doc_id", F.col("pos").alias("pos2"))
+    ptf = (a.join(b, ["doc_id"])
+           .where(F.col("pos2") == F.col("pos") + 1)
+           .groupBy("doc_id").agg(F.count("*").alias("ptf")))
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    norms = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = norms.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    dfs = {r["term"]: int(r["df"]) for r in
+           tf.where(F.col("term").isin([t1, t2])).groupBy("term")
+           .agg(F.count("*").alias("df")).collect()}
+    idf_p = sum(math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in (t1, t2))
+    ptfd = F.col("ptf").cast("double")
+    score = (F.lit(idf_p) * ptfd * 2.2
+             / (ptfd + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)))
+    scored = (ptf.join(norms, "doc_id")
+              .select("doc_id", F.round(score, 4).alias("score")))
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= 20))
+
+
+IR_PHRASE_SQL = f"""
+    {_BM25_CTES},
+    lst AS (SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT}') AS l
+            FROM documents),
+    raw AS (SELECT doc_id, l[i] AS term, i AS ord
+            FROM lst, unnest(range(1, len(l) + 1)) AS g(i)
+            WHERE l[i] <> '' AND l[i] NOT IN ({STOP_SQL})),
+    post AS (SELECT doc_id, term,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+             FROM raw),
+    ptf AS (SELECT a.doc_id, count(*)::BIGINT AS ptf
+            FROM post a JOIN post b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             AND a.term = 'table' AND b.term = 'part'
+            GROUP BY a.doc_id),
+    idfs AS (SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS idf_p
+             FROM dict d CROSS JOIN stats s WHERE d.term IN ('table', 'part')),
+    scored AS (SELECT ptf.doc_id,
+                      round(idfs.idf_p * ptf.ptf * 2.2
+                            / (ptf.ptf + 1.2 * (0.25 + 0.75 * norms.dl / stats.avgdl)),
+                            4) AS score
+               FROM ptf JOIN norms ON ptf.doc_id = norms.doc_id
+               CROSS JOIN stats CROSS JOIN idfs)
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= 20
+"""
+
+
 def ir_delete_semantics(spark, sf_dir):
     """S6 delete-by-predicate: surviving doc counts per lang after
     DELETE WHERE source='src0'."""
@@ -453,6 +525,98 @@ LSH_COSINE_BUCKETS_SQL = f"""
     FROM embeddings GROUP BY 1
 """
 
+# ---- assembled bucketed ANN: multi-table sign-LSH -> candidate pairs
+# -> exact cosine verify -> top-k. THE scale path replacing the
+# ann_cosine_topk crossJoin at 10^9 vectors: candidate generation is a
+# (table, bucket) equi-join, verification touches candidates only.
+# 24 tables x 4 hash-chosen coordinate signs -> measured recall@10 >=
+# 0.9 vs the brute-force oracle on both fixture sets (tests/
+# test_suite_ann.py). The fixture embeddings are near-random (worst
+# case for LSH — candidate reduction is ~33%); clustered real
+# embeddings concentrate buckets and prune far harder, and the
+# verify stage cost is |candidates|, never |corpus|^2.
+_ANN_TABLES = 24
+_ANN_BITS = 4
+
+
+def _ann_coord(t: int, i: int) -> int:
+    """Deterministic hash-chosen coordinate for table t, bit i —
+    IDENTICAL in the Spark plan and the DuckDB oracle."""
+    import hashlib
+    return int.from_bytes(
+        hashlib.md5(f"lsh:{t}:{i}".encode()).digest()[:4], "big") % _DIM
+
+
+def ann_bucketed_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tabs = None
+    for t in range(_ANN_TABLES):
+        bkt = None
+        for i in range(_ANN_BITS):
+            bit = F.when(F.element_at("embedding", _ann_coord(t, i) + 1) > 0,
+                         2 ** i).otherwise(0)
+            bkt = bit if bkt is None else bkt + bit
+        part = emb.select("vec_id", F.lit(t).alias("tbl"),
+                          bkt.cast("long").alias("bkt"))
+        tabs = part if tabs is None else tabs.unionByName(part)
+    qt = (tabs.where(F.col("vec_id") < _NQ)
+          .select(F.col("vec_id").alias("qid"), "tbl", "bkt"))
+    cand = (tabs.join(F.broadcast(qt), ["tbl", "bkt"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id").distinct())
+    q = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    dot = F.expr("aggregate(zip_with(qe, embedding, (x, y) -> "
+                 "cast(x AS double) * cast(y AS double)), 0D, "
+                 "(acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qe, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    ne = F.expr("sqrt(aggregate(embedding, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    scored = (cand.join(emb, "vec_id").join(F.broadcast(q), "qid")
+              .select("qid", "vec_id",
+                      F.round(dot / (nq * ne), 4).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
+def _ann_tabs_sql() -> str:
+    sels = []
+    for t in range(_ANN_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN embedding[{_ann_coord(t, i) + 1}] > 0 "
+            f"THEN {2 ** i} ELSE 0 END)" for i in range(_ANN_BITS))
+        sels.append(f"SELECT vec_id, {t} AS tbl, ({bits})::BIGINT AS bkt "
+                    "FROM embeddings")
+    return " UNION ALL ".join(sels)
+
+
+ANN_BUCKETED_TOPK_SQL = f"""
+    WITH tabs AS ({_ann_tabs_sql()}),
+    qt AS (SELECT vec_id AS qid, tbl, bkt FROM tabs WHERE vec_id < {_NQ}),
+    cand AS (SELECT DISTINCT qt.qid, t.vec_id
+             FROM tabs t JOIN qt ON t.tbl = qt.tbl AND t.bkt = qt.bkt
+             WHERE t.vec_id <> qt.qid),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < {_NQ}),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             round(
+               (SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                FROM generate_series(1, {_DIM}) AS g(i))
+               / (sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                        FROM generate_series(1, {_DIM}) AS g(i)))
+                  * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                          FROM generate_series(1, {_DIM}) AS g(i)))), 4) AS cosine
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN q ON q.qid = c.qid)
+    SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+"""
+
 
 # ------------------------------------------------------------ text analysis
 
@@ -611,6 +775,72 @@ MM_METADATA_SQL = """
 """
 
 
+_MEDIA_BLOB = (
+    "cast(concat('FMED', "
+    " substring('imauvi', (cast(doc_id % 3 as int)) * 2 + 1, 2), "
+    " lpad(cast(16 * (1 + doc_id % 40) as string), 6, '0'), "
+    " lpad(cast(9 * (1 + doc_id % 40) as string), 6, '0'), "
+    " lpad(cast(1 + doc_id % 250 as string), 4, '0'), "
+    " text) as binary)")
+
+
+def _media_from_docs(spark, sf_dir):
+    """documents -> (media_id, blob): the same typed-header binary blob
+    mm_metadata builds, consumed by the REAL Arrow media kernels."""
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .select(F.col("doc_id").alias("media_id"),
+                    F.expr(_MEDIA_BLOB).alias("blob")))
+
+
+def mm_features(spark, sf_dir):
+    """Arrow mapInPandas feature extraction over binary media blobs
+    (pipelines/multimodal.py media_features — the decode step is the
+    deterministic md5-stream fake, reproduced arithmetically by the
+    DuckDB oracle: digest bytes of md5(payload) tiled to 64 samples,
+    8 chunk means)."""
+    from mias_spark.pipelines.multimodal import media_features
+    return media_features(_media_from_docs(spark, sf_dir))
+
+
+def _hexbyte_sql(col: str, i: int) -> str:
+    """SQL for byte i (0-based) of an md5 hex digest column."""
+    return (f"((strpos('0123456789abcdef', substring({col}, {2*i+1}, 1))-1)*16"
+            f" + (strpos('0123456789abcdef', substring({col}, {2*i+2}, 1))-1))")
+
+
+# the 16 digest bytes tiled x4 to 64 samples, split into 8 chunks of 8:
+# chunk j = digest bytes 0..7 (j even) or 8..15 (j odd)
+_FA = "(" + " + ".join(_hexbyte_sql("hx", i) for i in range(8)) + ") / 8.0"
+_FB = "(" + " + ".join(_hexbyte_sql("hx", i) for i in range(8, 16)) + ") / 8.0"
+MM_FEATURES_SQL = f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    f AS (SELECT doc_id, {_FA} AS fa, {_FB} AS fb FROM h)
+    SELECT doc_id::BIGINT AS media_id,
+           round(fa, 4) AS f0, round(fb, 4) AS f1,
+           round(fa, 4) AS f2, round(fb, 4) AS f3,
+           round(fa, 4) AS f4, round(fb, 4) AS f5,
+           round(fa, 4) AS f6, round(fb, 4) AS f7,
+           round(sqrt(4*fa*fa + 4*fb*fb), 4) AS feat_norm
+    FROM f
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Video frame sampling (explode over typed metadata parsed from the
+    binary header by native functions; multimodal.frame_sample)."""
+    from mias_spark.pipelines.multimodal import frame_sample
+    return frame_sample(_media_from_docs(spark, sf_dir), every=25)
+
+
+MM_FRAME_SAMPLE_SQL = """
+    SELECT doc_id::BIGINT AS media_id,
+           (1 + doc_id % 250)::BIGINT AS n_frames,
+           g.frame_idx::BIGINT AS frame_idx
+    FROM documents, unnest(range(0, (1 + doc_id % 250), 25)) AS g(frame_idx)
+    WHERE doc_id % 3 = 2
+"""
+
+
 # ---------------------------------------------------------------- relational
 
 def tpch_q1(spark, sf_dir):
@@ -720,6 +950,7 @@ REGISTRY: dict[str, tuple] = {
     "ir_bm25_topk": (ir_bm25_topk, IR_BM25_TOPK_SQL),
     "ir_bm25_multiterm": (ir_bm25_multiterm, IR_BM25_MULTITERM_SQL),
     "ir_bm25_conjunctive": (ir_bm25_conjunctive, IR_BM25_CONJUNCTIVE_SQL),
+    "ir_phrase": (ir_phrase, IR_PHRASE_SQL),
     "ir_delete_semantics": (ir_delete_semantics, IR_DELETE_SEMANTICS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
@@ -729,7 +960,10 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine,
                                DEDUP_EMBEDDING_COSINE_SQL),
     "lsh_cosine_buckets": (lsh_cosine_buckets, LSH_COSINE_BUCKETS_SQL),
+    "ann_bucketed_topk": (ann_bucketed_topk, ANN_BUCKETED_TOPK_SQL),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),
+    "mm_features": (mm_features, MM_FEATURES_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),

@@ -43,6 +43,13 @@ class SearchResult:
     total_groups: int
     query_terms: int
     processed_query: str
+    # Q10 total-hit count (Searching.java:206 docs.totalHits). Exact in
+    # the df plan; in the blocks plan it is the sum of per-shard match
+    # counts — exact ("eq") unless block-max pruning skipped blocks, in
+    # which case it is a lower bound ("gte", the Lucene
+    # GREATER_THAN_OR_EQUAL_TO relation under early termination).
+    total_hits: int = 0
+    total_hits_relation: str = "eq"   # "eq" | "gte"
 
 
 class Engine:
@@ -58,14 +65,19 @@ class Engine:
                 extract_subformulae: bool = True,
                 reduce_weighting: bool = True):
         """Clause table joined with dictionary: one row per query clause
-        present in the index. Returns (clauses_df, n_groups,
-        processed_query_string, compiled_query)."""
+        present in the index. Returns (clauses_df, phrase_plan,
+        n_groups, processed_query_string, compiled_query)."""
         q = compile_query(query_text, variant, extract_subformulae,
                           reduce_weighting)
-        if not q.clauses:
+        pplan = {"must": [], "must_not": [], "banned_tids": [],
+                 "impossible": False}
+        if not q.clauses and not q.phrases and not q.prohibited:
             return pd.DataFrame(columns=[
-                "term_id", "grp", "boost", "idf", "avgdl", "bucket"]), 0, "", q
-        pairs = sorted({(c.fld, c.term) for c in q.clauses})
+                "term_id", "grp", "boost", "idf", "avgdl", "bucket"]), \
+                pplan, 0, "", q
+        pairs = sorted({(c.fld, c.term) for c in q.clauses}
+                       | {(p.fld, t) for p in q.phrases for t in p.terms}
+                       | {(c.fld, c.term) for c in q.prohibited})
         # partition-pruned dictionary lookup: compute each pair's
         # dbucket (tiny local job, no table scan) and read only those
         # partitions — |query terms| buckets instead of the full
@@ -81,8 +93,12 @@ class Engine:
             dic = dic.where(F.col("dbucket").isin(dbuckets))
         cond = F.concat_ws("\x00", "field", "term").isin(
             ["\x00".join(p) for p in pairs])
+        # merge the base + delta dictionary segments for the looked-up
+        # terms only: df is additive across segments (ops.py upsert)
         found = {(r["field"], r["term"]): (r["term_id"], r["df"])
-                 for r in dic.where(cond).collect()}
+                 for r in dic.where(cond)
+                 .groupBy("field", "term", "term_id")
+                 .agg(F.sum("df").alias("df")).collect()}
         rows = []
         for c in sorted(q.clauses, key=lambda c: (c.fld, c.term, c.group)):
             hit = found.get((c.fld, c.term))
@@ -95,9 +111,46 @@ class Engine:
                          float(st["avgdl"]), int(tid % self.n_buckets)))
         clauses = pd.DataFrame(rows, columns=[
             "term_id", "grp", "boost", "idf", "avgdl", "bucket"])
+        # ---- phrase plan: term_ids + driver-computed scoring constants
+        # (idf_p = sum of constituent idfs, w = the field weight the
+        # index carries on every text posting — PhraseClause spec)
+        from mias_spec.codec import quantize_weight
+        from mias_spec.constants import TEXT_WEIGHT, TITLE_BOOST
+        must_groups: set[int] = set()
+        viable_groups: set[int] = set()
+        for p in q.phrases:
+            if not p.must_not:
+                must_groups.add(p.group)
+            hits = [found.get((p.fld, t)) for t in p.terms]
+            if any(h is None for h in hits):
+                # this FIELD VARIANT can't match; the group is only
+                # impossible if no variant of it survives (checked below)
+                continue
+            if not p.must_not:
+                viable_groups.add(p.group)
+            st = self.field_stats[p.fld]
+            pplan["must_not" if p.must_not else "must"].append({
+                "grp": p.group, "fld": p.fld,
+                "tids": [int(h[0]) for h in hits],
+                "idf_p": sum(idf_fn(int(st["n_docs"]), int(h[1]))
+                             for h in hits),
+                "avgdl": float(st["avgdl"]),
+                "w": quantize_weight(
+                    TITLE_BOOST if p.fld == "title" else TEXT_WEIGHT),
+                "boost": float(p.boost),
+            })
+        # a MUST phrase group with no viable field variant matches nothing
+        pplan["impossible"] = bool(must_groups - viable_groups)
+        pplan["banned_tids"] = sorted({
+            int(found[(c.fld, c.term)][0]) for c in q.prohibited
+            if (c.fld, c.term) in found})
         processed = " ".join(
-            f"g{c.group}:{c.fld}:{c.term}^{c.boost:.3g}" for c in q.clauses)
-        return clauses, q.n_groups, processed, q
+            [f"g{c.group}:{c.fld}:{c.term}^{c.boost:.3g}"
+             for c in q.clauses]
+            + [("-" if p.must_not else f"g{p.group}:")
+               + f"{p.fld}:\"{' '.join(p.terms)}\"" for p in q.phrases]
+            + [f"-{c.fld}:{c.term}" for c in q.prohibited])
+        return clauses, pplan, q.n_groups, processed, q
 
     # -------------------------------------------------------------- search
     def search(self, query_text: str, k: int = 10, offset: int = 0,
@@ -116,14 +169,25 @@ class Engine:
             sc = self.spark.sparkContext
             group = f"mias-search-{id(self)}-{threading.get_ident()}"
             sc.setJobGroup(group, query_text[:80], interruptOnCancel=True)
-            timer = threading.Timer(
-                timeout_s, lambda: sc.cancelJobGroup(group))
+            fired = threading.Event()
+
+            def _cancel():
+                fired.set()
+                sc.cancelJobGroup(group)
+
+            timer = threading.Timer(timeout_s, _cancel)
             timer.start()
             try:
                 return self._search_body(
                     query_text, k, offset, variant, extract_subformulae,
                     reduce_weighting, mode, with_fields, snippets, debug)
             except Exception:
+                # only the DEADLINE maps to the partial-result sentinel
+                # (Searching.java returns what the collector gathered);
+                # real errors (analysis, missing table, kernel bug)
+                # propagate instead of masquerading as timeouts
+                if not fired.is_set():
+                    raise
                 return SearchResult(
                     pd.DataFrame(columns=["rank", "doc_id", "score"]),
                     0, 0, "(timed out)")
@@ -137,24 +201,48 @@ class Engine:
     def _search_body(self, query_text, k, offset, variant,
                      extract_subformulae, reduce_weighting, mode,
                      with_fields, snippets, debug) -> SearchResult:
-        clauses, n_groups, processed, q = self.compile(
+        clauses, pplan, n_groups, processed, q = self.compile(
             query_text, variant, extract_subformulae, reduce_weighting)
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
-        if clauses.empty:
-            return SearchResult(empty, n_groups, 0, processed)
-        if mode == "df":
-            scored = self._score_dataframe(clauses)
-            top = (
+        if pplan["impossible"] or (clauses.empty and not pplan["must"]):
+            return SearchResult(empty, n_groups, len(clauses), processed)
+        must_df, banned = self._phrase_frames(pplan)
+        n_pg = len({p["grp"] for p in pplan["must"]})
+        if mode == "df" or clauses.empty:
+            # phrase clauses live on the positional postings surface, so
+            # a phrase-only query runs this plan in both modes (packed
+            # blocks are position-free by design, like Lucene keeping
+            # positions in a separate file from the skip/doc data)
+            parts = []
+            if not clauses.empty:
+                parts.append(self._score_dataframe(clauses))
+            if must_df is not None:
+                parts.append(must_df)
+            scored = parts[0]
+            for p in parts[1:]:
+                scored = scored.unionByName(p)
+            agg = (
                 scored.groupBy("doc_id")
                 .agg(F.sum("score").alias("score"),
                      F.countDistinct("grp").alias("_ng"))
                 .where(F.col("_ng") == n_groups).drop("_ng")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(offset + k)
             )
+            if banned is not None:
+                agg = agg.join(banned, "doc_id", "leftanti")
+            # Q10 total hits + top-k off ONE materialization (persist
+            # spans the two jobs; MEMORY_AND_DISK so a match-all agg at
+            # scale spills instead of OOMing)
+            agg = agg.persist()
+            try:
+                total_hits, rel = int(agg.count()), "eq"
+                pdf = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
+                       .limit(offset + k).toPandas())
+            finally:
+                agg.unpersist()
         else:
-            top = self._topk_blocks(clauses, k + offset, n_groups)
-        hits = top.toPandas().iloc[offset:offset + k].reset_index(drop=True)
+            pdf, total_hits, rel = self._topk_blocks(
+                clauses, k + offset, n_groups - n_pg, n_pg, must_df, banned)
+        hits = pdf.iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
         if (with_fields or snippets) and len(hits):
             ids = [int(d) for d in hits["doc_id"]]
@@ -181,7 +269,8 @@ class Engine:
                 hits = hits.drop(columns=["content", "lang"])
         if debug and len(hits):
             hits["explain"] = self._explain(clauses, hits, n_groups)
-        return SearchResult(hits, n_groups, len(clauses), processed)
+        return SearchResult(hits, n_groups, len(clauses), processed,
+                            total_hits, rel)
 
     # -------------------------------------------------------------- explain
     def _explain(self, clauses: pd.DataFrame, hits: pd.DataFrame,
@@ -226,6 +315,70 @@ class Engine:
             out.append("; ".join(lines))
         return out
 
+    # ------------------------------------------------------ phrase frames
+    def _phrase_postings(self, tids: list[int]):
+        n_buckets = self.n_buckets
+        buckets = sorted({t % n_buckets for t in tids})
+        return (self.cat.read("postings")
+                .where(F.col("bucket").isin([int(b) for b in buckets]))
+                .where(F.col("term_id").isin([int(t) for t in tids]))
+                .select("term_id", "doc_id", "positions", "dl"))
+
+    def _phrase_match(self, p: dict) -> DataFrame:
+        """Docs matching one phrase clause, with the phrase tf:
+        chained equi-joins on doc_id over the phrase terms' postings
+        (bucket- and term-pruned scans — each side is ONE term's
+        posting list), adjacency verified with native array functions
+        (positions are stored on posting rows, build.py). Returns
+        (doc_id, ptf, dl)."""
+        posts = self._phrase_postings(p["tids"])
+        cur = (posts.where(F.col("term_id") == int(p["tids"][0]))
+               .select("doc_id", F.col("positions").alias("P"), "dl"))
+        for t in p["tids"][1:]:
+            nxt = (posts.where(F.col("term_id") == int(t))
+                   .select("doc_id", F.col("positions").alias("Pn")))
+            cur = (cur.join(nxt, "doc_id")
+                   .withColumn("P", F.expr(
+                       "array_intersect(transform(P, x -> x + 1), Pn)"))
+                   .where(F.size("P") > 0)
+                   .drop("Pn"))
+        return cur.select("doc_id",
+                          F.size("P").cast("double").alias("ptf"), "dl")
+
+    def _phrase_frames(self, pplan) -> tuple[DataFrame | None,
+                                             DataFrame | None]:
+        """(must_scores, banned_docs): must_scores has one row per
+        (doc, phrase clause) with columns (doc_id, grp, score) — the
+        PhraseClause scoring spec, all native expressions; banned_docs
+        is the MUST_NOT doc set (prohibited terms + prohibited
+        phrases), produced as a DataFrame so exclusion is a join, never
+        a driver-side collect."""
+        must = None
+        for p in pplan["must"]:
+            m = self._phrase_match(p)
+            score = (
+                F.lit(p["boost"] * p["w"] * p["idf_p"])
+                * F.col("ptf") * (BM25_K1 + 1.0)
+                / (F.col("ptf") + BM25_K1 * (1.0 - BM25_B + BM25_B
+                                             * F.col("dl") / p["avgdl"]))
+            )
+            f = m.select("doc_id", F.lit(int(p["grp"])).alias("grp"),
+                         score.alias("score"))
+            must = f if must is None else must.unionByName(f)
+        banned = None
+        parts = []
+        if pplan["banned_tids"]:
+            parts.append(self._phrase_postings(pplan["banned_tids"])
+                         .select("doc_id"))
+        for p in pplan["must_not"]:
+            parts.append(self._phrase_match(p).select("doc_id"))
+        if parts:
+            banned = parts[0]
+            for x in parts[1:]:
+                banned = banned.unionByName(x)
+            banned = banned.distinct()
+        return must, banned
+
     # ---------------------------------------------------- DataFrame scorer
     def _score_dataframe(self, clauses: pd.DataFrame) -> DataFrame:
         cdf = self.spark.createDataFrame(clauses, CLAUSE_SCHEMA)
@@ -252,37 +405,71 @@ class Engine:
 
     # ---------------------------------------------- block-max top-k scorer
     def _topk_blocks(self, clauses: pd.DataFrame, topn: int,
-                     n_groups: int) -> DataFrame:
+                     n_groups: int, n_pgroups: int = 0,
+                     allow_df: DataFrame | None = None,
+                     banned_df: DataFrame | None = None,
+                     ) -> tuple[pd.DataFrame, int, str]:
         """Doc-sharded block-max top-k over the packed posting blocks.
+        Returns (hits pandas frame, total_hits, total_hits_relation).
+
+        ``n_groups`` here counts TERM groups only; when the query also
+        has MUST phrase groups (``n_pgroups`` > 0), ``allow_df``
+        carries (doc_id, pscore) for docs matching ALL phrase groups —
+        the kernel restricts scoring to those docs and adds pscore to
+        the final totals. ``banned_df`` (MUST_NOT docs) and tombstones
+        ride the SAME co-grouped exclusion channel.
 
         Physical plan (the WAND-style scale path, SURVEY.md §2.4 Q8):
 
         1. partition-pruned scan of the query terms' blocks (bucket
            predicate + term_id min/max skipping on parquet),
-        2. driver-side pruning metadata from one TINY window query over
-           block stats (<= n_terms * topn rows): a safe score floor
-           ``theta`` — the topn-th largest block-max of a single term is
-           achieved by topn distinct docs (blocks of one term are
-           doc-disjoint), so the topn-th best total is at least it —
-           and per-term upper bounds; a block of term t is skipped when
-           ``boost_t*max_score + sum_{u!=t} UB_u < theta`` (pushed down
-           as a Catalyst filter on block metadata, so skipped blocks'
-           binary columns are never even read),
-        3. blocks exploded to the doc-range shards they overlap and
-           hash-repartitioned by shard — every doc's complete postings
+        2. driver-side pruning metadata from one TINY agg job over
+           block stats (<= n_terms rows back): a safe score floor
+           ``theta`` — the topn-th largest block-max LOWER bound of a
+           single term is achieved by topn distinct docs (blocks of one
+           term are doc-disjoint), so the topn-th best total is at
+           least it — and per-term upper bounds; a block of term t is
+           skipped when ``boost_t*UB(block) + sum_{u!=t} UB_u < theta``
+           (pushed down as a Catalyst filter on block metadata, so
+           skipped blocks' binary columns are never even read),
+        3. stale-segment safety: pack-time bounds are rescaled to
+           CURRENT stats — exactly for idf (score is linear in idf:
+           × fidf/idf0) and conservatively for avgdl (score is NOT
+           linear in avgdl; score(af)/score(a0) always lies between
+           af/a0 and 1, so upper bounds × max(1, af/a0) and the theta
+           floor × min(1, af/a0) stay valid under append-only upserts
+           that move field avgdl),
+        4. conjunctions (n_groups > 1): per-term doc-range filter on
+           metadata (a block must overlap every OTHER group's doc
+           extent) + in-kernel essential-group pruning — the group with
+           the fewest postings is decoded first; any other block whose
+           doc range contains none of those candidate docs is skipped
+           WITHOUT decoding, and decoded rows are masked to candidates
+           (sound: a doc absent from one group cannot satisfy the
+           conjunction). Skip counts are reported per shard,
+        5. blocks exploded to the doc-range shards they overlap and
+           hash-partitioned by shard — every doc's complete postings
            land in exactly one task (ONE narrow shuffle of compressed
-           blocks; no exploded-posting shuffle, no global groupBy),
-        4. a vectorized numpy kernel per partition: decode, mask to own
+           blocks; no exploded-posting shuffle, no global groupBy);
+           when tombstones exist they are CO-GROUPED by the same shard
+           key (no driver-side collect of deletes — scale-safe at 10^10
+           tombstones, each task sees only its shard's dead ids),
+        6. a vectorized numpy kernel per shard: decode, mask to own
            shard, accumulate (doc, grp) partial sums in sorted term
            order (deterministic float accumulation), enforce the
-           MUST-group conjunction, emit the partition-local top-n only,
-        5. driver merge of <= n_shards * topn rows.
+           MUST-group conjunction, emit the shard-local top-n plus ONE
+           sentinel row (doc_id=-1) carrying the shard's exact matched
+           count and skipped-block count,
+        7. driver merge of <= n_shards * (topn+1) rows: totals from the
+           sentinels (exact unless theta skipped blocks — then a lower
+           bound, Lucene's GTE relation), top-n by (score desc, doc).
 
         theta > 0 only for single-group queries: a block-max achieving
         doc may fail a multi-group conjunction, so its score is not a
-        valid floor there (documented divergence; conjunction still
-        benefits from steps 3-5).
+        valid floor there (conjunctions prune via step 4 instead).
         """
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
         bdf = (self.cat.read("blocks")
@@ -295,46 +482,52 @@ class Engine:
         max_boost = {t: max(b for _, b in es) for t, es in cmap.items()}
 
         # ---- driver metadata: ONE tiny agg job over block stats columns
-        # (per-term top-n block maxes + doc extent; <= n_terms rows back).
+        # (per-term top-n adjusted bounds + doc extent; <= n_terms rows).
         # collect_list is over block-LEVEL stats (df/BLOCK_SIZE values per
         # term); if a term's block count itself becomes driver-hostile
         # (df >> 10^9), swap this agg for a bounded two-level top-n merge.
-        # pack-time bounds rescaled to CURRENT stats PER BLOCK: score is
-        # linear in idf, so max_score * idf_fresh/idf0 is an exact bound
-        # even for stale segments (delta appends moved global df/N)
         fresh_df = self.spark.createDataFrame(
-            clauses[["term_id", "idf"]].drop_duplicates("term_id"),
-            "term_id long, fidf double")
-        if "idf0" not in bdf.columns:     # pre-idf0 index: scale = 1
-            bdf = bdf.withColumn("idf0", F.lit(None).cast("double"))
-        adj = (F.col("max_score") * F.col("fidf")
-               / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
+            clauses[["term_id", "idf", "avgdl"]]
+            .drop_duplicates("term_id")
+            .rename(columns={"idf": "fidf", "avgdl": "favgdl"}),
+            "term_id long, fidf double, favgdl double")
+        for c in ("idf0", "avgdl0"):      # pre-snapshot index: scale = 1
+            if c not in bdf.columns:
+                bdf = bdf.withColumn(c, F.lit(None).cast("double"))
+        idf_scale = (F.col("fidf")
+                     / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
+        avgdl_ratio = (F.col("favgdl")
+                       / F.greatest(F.coalesce("avgdl0", "favgdl"),
+                                    F.lit(1e-12)))
+        adj_ub = (F.col("max_score") * idf_scale
+                  * F.greatest(avgdl_ratio, F.lit(1.0)))
+        adj_lb = (F.col("max_score") * idf_scale
+                  * F.least(avgdl_ratio, F.lit(1.0)))
         mrows = (bdf.join(F.broadcast(fresh_df), "term_id")
                  .groupBy("term_id").agg(
-            F.slice(F.sort_array(F.collect_list(adj), False),
+            F.slice(F.sort_array(F.collect_list(adj_lb), False),
                     1, topn).alias("tops"),
+            F.max(adj_ub).alias("ubm"),
             F.count("*").alias("nb"),
+            F.sum("n_docs").alias("npost"),
             F.min("first_doc").alias("blo"),
             F.max("last_doc").alias("bhi"))).collect()
         if not mrows:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double")
+            return empty, 0, "eq"
         lo = min(int(r["blo"]) for r in mrows)
         hi = max(int(r["bhi"]) for r in mrows)
         tomb = self.cat.tombstones()
-        dead = (np.sort(np.array(
-            [r["doc_id"] for r in tomb.collect()], dtype=np.int64))
-            if tomb is not None else None)
         theta = 0.0
-        # a tombstoned doc may be the block-max achiever, so the floor
-        # is only a valid lower bound on a CLEAN index; `optimize`
-        # restores pruning after deletes
-        if n_groups == 1 and (dead is None or len(dead) == 0):
+        # a tombstoned/banned doc may be the block-max achiever, so the
+        # floor is only a valid lower bound on a CLEAN unfiltered index;
+        # `optimize` restores pruning after deletes
+        if (n_groups == 1 and tomb is None and banned_df is None
+                and n_pgroups == 0):
             for r in mrows:
                 if int(r["nb"]) >= topn:
                     theta = max(theta, r["tops"][topn - 1]
                                 * max_boost[int(r["term_id"])])
-        ub = {int(r["term_id"]): r["tops"][0] * max_boost[int(r["term_id"])]
+        ub = {int(r["term_id"]): r["ubm"] * max_boost[int(r["term_id"])]
               for r in mrows}
         sum_ub = sum(ub.values())
 
@@ -346,8 +539,35 @@ class Engine:
                 "term_id long, rest double, mboost double")
             bdf = (bdf.join(F.broadcast(rest_df), "term_id")
                    .join(F.broadcast(fresh_df), "term_id")
-                   .where(F.col("mboost") * adj + F.col("rest") >= theta)
-                   .drop("rest", "mboost", "fidf"))
+                   .where(F.col("mboost") * adj_ub + F.col("rest") >= theta)
+                   .drop("rest", "mboost", "fidf", "favgdl"))
+
+        # ---- conjunction: per-group doc extents -> per-term range filter
+        eg = -1
+        if n_groups > 1:
+            glo: dict[int, int] = {}
+            ghi: dict[int, int] = {}
+            gpost: dict[int, int] = {}
+            for r in mrows:
+                for g, _ in cmap[int(r["term_id"])]:
+                    glo[g] = min(glo.get(g, int(r["blo"])), int(r["blo"]))
+                    ghi[g] = max(ghi.get(g, int(r["bhi"])), int(r["bhi"]))
+                    gpost[g] = gpost.get(g, 0) + int(r["npost"])
+            eg = min(gpost, key=lambda g: (gpost[g], g))
+            rng = []
+            for r in mrows:
+                t = int(r["term_id"])
+                gs = {g for g, _ in cmap[t]}
+                others = [g for g in glo if g not in gs]
+                rlo = max((glo[g] for g in others), default=lo)
+                rhi = min((ghi[g] for g in others), default=hi)
+                rng.append((t, int(rlo), int(rhi)))
+            rng_df = self.spark.createDataFrame(
+                rng, "term_id long, rlo long, rhi long")
+            bdf = (bdf.join(F.broadcast(rng_df), "term_id")
+                   .where((F.col("last_doc") >= F.col("rlo"))
+                          & (F.col("first_doc") <= F.col("rhi")))
+                   .drop("rlo", "rhi"))
 
         # ---- doc-range sharding: each block joins every shard it spans
         span = max(hi - lo + 1, 1)
@@ -356,50 +576,112 @@ class Engine:
         # drifts at 10^12-doc scale
         s_of = lambda c: F.expr(  # noqa: E731
             f"({c} - {lo}L) * {n_shards}L div {span}L")
-        sharded = (bdf.withColumn("shard", F.explode(F.sequence(
+        sharded = bdf.withColumn("shard", F.explode(F.sequence(
             s_of("first_doc"),
             F.least(s_of("last_doc"), F.lit(n_shards - 1)))))
-            .repartition(n_shards, "shard"))
 
         cdf = self.spark.createDataFrame(
             clauses[["term_id", "idf", "avgdl"]].drop_duplicates("term_id"),
             "term_id long, idf double, avgdl double")
         withmeta = sharded.join(F.broadcast(cdf), "term_id")
-        gmult = 1 << max(int(n_groups).bit_length(), 1)
+        # group ids need not be contiguous (phrase groups interleave):
+        # the doc<<k | grp packing must clear the MAX id, not the count
+        gmax = int(clauses["grp"].max()) + 1
+        gmult = 1 << max(gmax.bit_length(), 1)
+        has_allow = n_pgroups > 0
         bc = self.spark.sparkContext.broadcast(
-            (cmap, n_groups, topn, lo, span, n_shards, gmult, dead))
+            (cmap, n_groups, topn, lo, span, n_shards, gmult, eg,
+             has_allow))
+        out_schema = "doc_id long, score double, n_hits long, n_skipped long"
 
-        def kernel(batches):
-            cmap_l, ngroups, n_top, lo_l, span_l, ns, gm, dead_l = bc.value
+        def core(pdf: pd.DataFrame, dead_l, allow_docs=None, allow_ps=None
+                 ) -> pd.DataFrame:
+            (cmap_l, ngroups, n_top, lo_l, span_l, ns, gm, eg_l,
+             h_allow) = bc.value
             acc_docs, acc_grps, acc_scores, order = [], [], [], []
-            for pdf in batches:
+            n_skipped = 0
+
+            def decode(row):
+                docs, tfs, dls, ws = blk.unpack_block(row)
+                mask = ((docs - lo_l) * ns // span_l) == row.shard
+                if dead_l is not None and len(dead_l):
+                    # liveDocs filter: drop tombstoned/banned docs
+                    idx = np.searchsorted(dead_l, docs)
+                    idx[idx == len(dead_l)] = 0
+                    mask &= dead_l[idx] != docs
+                if h_allow:
+                    # phrase-group allowlist: only docs matching every
+                    # MUST phrase can satisfy the full conjunction
+                    if allow_docs is None or not len(allow_docs):
+                        mask &= False
+                    else:
+                        idx = np.searchsorted(allow_docs, docs)
+                        idx[idx == len(allow_docs)] = 0
+                        mask &= allow_docs[idx] == docs
+                return docs[mask], tfs[mask], dls[mask], ws[mask]
+
+            def accumulate(row, entries, docs, tfs, dls, ws):
+                tf = tfs.astype(np.float64)
+                base = (ws / tf) * row.idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B
+                                    + BM25_B * dls / row.avgdl))
+                for grp, boost in entries:
+                    acc_docs.append(docs)
+                    acc_grps.append(np.full(len(docs), grp, np.int64))
+                    acc_scores.append(boost * base)
+                    order.append((int(row.term_id), int(row.salt),
+                                  int(row.block_ord), grp))
+
+            if ngroups > 1:
+                # essential-group pruning: decode the cheapest group,
+                # then skip/mask every other block by its candidates
+                eg_rows, other_rows = [], []
                 for row in pdf.itertuples():
                     entries = cmap_l.get(int(row.term_id))
                     if not entries:
                         continue
-                    docs, tfs, dls, ws = blk.unpack_block(row)
-                    mask = ((docs - lo_l) * ns // span_l) == row.shard
-                    if dead_l is not None and len(dead_l):
-                        # liveDocs filter: drop tombstoned docs
-                        idx = np.searchsorted(dead_l, docs)
-                        idx[idx == len(dead_l)] = 0
-                        mask &= dead_l[idx] != docs
-                    if not mask.any():
+                    if any(g == eg_l for g, _ in entries):
+                        eg_rows.append((row, entries))
+                    else:
+                        other_rows.append((row, entries))
+                cand_parts = []
+                for row, entries in eg_rows:
+                    docs, tfs, dls, ws = decode(row)
+                    if not len(docs):
                         continue
-                    docs, tfs, dls, ws = (docs[mask], tfs[mask],
-                                          dls[mask], ws[mask])
-                    tf = tfs.astype(np.float64)
-                    base = (ws / tf) * row.idf * tf * (BM25_K1 + 1.0) / (
-                        tf + BM25_K1 * (1.0 - BM25_B
-                                        + BM25_B * dls / row.avgdl))
-                    for grp, boost in entries:
-                        acc_docs.append(docs)
-                        acc_grps.append(np.full(len(docs), grp, np.int64))
-                        acc_scores.append(boost * base)
-                        order.append((int(row.term_id), int(row.salt),
-                                      int(row.block_ord), grp))
+                    accumulate(row, entries, docs, tfs, dls, ws)
+                    cand_parts.append(docs)
+                cand = (np.unique(np.concatenate(cand_parts))
+                        if cand_parts else np.empty(0, np.int64))
+                for row, entries in other_rows:
+                    if (len(cand) == 0
+                            or np.searchsorted(cand, row.first_doc)
+                            >= np.searchsorted(cand, row.last_doc, "right")):
+                        n_skipped += 1   # no candidate in range: no decode
+                        continue
+                    docs, tfs, dls, ws = decode(row)
+                    idx = np.searchsorted(cand, docs)
+                    idx[idx == len(cand)] = 0
+                    m = cand[idx] == docs
+                    if not m.any():
+                        n_skipped += 1
+                        continue
+                    accumulate(row, entries, docs[m], tfs[m], dls[m], ws[m])
+            else:
+                for row in pdf.itertuples():
+                    entries = cmap_l.get(int(row.term_id))
+                    if not entries:
+                        continue
+                    docs, tfs, dls, ws = decode(row)
+                    if not len(docs):
+                        continue
+                    accumulate(row, entries, docs, tfs, dls, ws)
+
+            sentinel = pd.DataFrame(
+                {"doc_id": [-1], "score": [0.0], "n_hits": [0],
+                 "n_skipped": [n_skipped]})
             if not acc_docs:
-                return
+                return sentinel
             # deterministic accumulation: concatenate in (term, salt,
             # block, grp) order so float sums match across plans/runs
             perm = sorted(range(len(order)), key=lambda i: order[i])
@@ -418,12 +700,77 @@ class Engine:
             np.add.at(gcnt, dinv, 1)
             ok = gcnt == ngroups
             ddocs, tot = ddocs[ok], tot[ok]
+            if h_allow and len(ddocs):
+                # every surviving doc is in the allowlist (decode masked
+                # to it) — add its precomputed phrase-group score
+                ai = np.searchsorted(allow_docs, ddocs)
+                tot = tot + allow_ps[ai]
+            sentinel.loc[0, "n_hits"] = int(len(ddocs))
             if len(ddocs) > n_top:
                 part = np.lexsort((ddocs, -tot))[:n_top]
                 ddocs, tot = ddocs[part], tot[part]
-            yield pd.DataFrame({"doc_id": ddocs.astype(np.int64),
-                                "score": tot})
+            return pd.concat([pd.DataFrame({
+                "doc_id": ddocs.astype(np.int64), "score": tot,
+                "n_hits": np.zeros(len(ddocs), np.int64),
+                "n_skipped": np.zeros(len(ddocs), np.int64),
+            }), sentinel], ignore_index=True)
 
-        local = withmeta.mapInPandas(kernel, "doc_id long, score double")
-        return (local.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(topn))
+        if tomb is not None or banned_df is not None or has_allow:
+            # doc-level side inputs (tombstones, MUST_NOT docs, phrase
+            # allowlist + scores) co-grouped by the SAME shard key: each
+            # task receives its shard's slice — nothing through the
+            # driver, scale-safe at 10^10 tombstones/matches
+            parts = [x.select("doc_id") for x in (tomb, banned_df)
+                     if x is not None]
+            right = None
+            if parts:
+                dead = parts[0]
+                for x in parts[1:]:
+                    dead = dead.unionByName(x)
+                right = dead.select(
+                    "doc_id", F.lit(0).alias("typ"),
+                    F.lit(0.0).alias("pscore"))
+            if has_allow:
+                allow = (allow_df.groupBy("doc_id")
+                         .agg(F.sum("score").alias("pscore"),
+                              F.countDistinct("grp").alias("_np"))
+                         .where(F.col("_np") == n_pgroups)
+                         .select("doc_id", F.lit(1).alias("typ"), "pscore"))
+                right = allow if right is None else right.unionByName(allow)
+            rshard = right.withColumn("shard", s_of("doc_id"))
+
+            def cokernel(left: pd.DataFrame, rpdf: pd.DataFrame
+                         ) -> pd.DataFrame:
+                d = rpdf[rpdf["typ"] == 0]
+                dead_l = np.sort(d["doc_id"].to_numpy(np.int64))
+                a = rpdf[rpdf["typ"] == 1]
+                ad = a["doc_id"].to_numpy(np.int64)
+                ap = a["pscore"].to_numpy(np.float64)
+                aperm = np.argsort(ad, kind="stable")
+                return core(left, dead_l, ad[aperm], ap[aperm])
+
+            local = (withmeta.groupBy("shard")
+                     .cogroup(rshard.groupBy("shard"))
+                     .applyInPandas(cokernel, out_schema))
+        else:
+            def kernel(batches):
+                # ONE core call per partition: Arrow may split a
+                # partition into several batches, and a doc's blocks
+                # must all be accumulated together
+                frames = [p for p in batches if len(p)]
+                if frames:
+                    yield core(pd.concat(frames, ignore_index=True), None)
+
+            local = (withmeta.repartition(n_shards, "shard")
+                     .mapInPandas(kernel, out_schema))
+
+        allpdf = local.toPandas()
+        sent = allpdf[allpdf["doc_id"] < 0]
+        hits = (allpdf[allpdf["doc_id"] >= 0]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(topn)[["doc_id", "score"]].reset_index(drop=True))
+        total = int(sent["n_hits"].sum())
+        self.last_blocks_stats = {
+            "skipped_blocks": int(sent["n_skipped"].sum()),
+            "theta": theta, "n_shards": int(n_shards)}
+        return hits, total, ("gte" if theta > 0.0 else "eq")

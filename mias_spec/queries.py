@@ -34,12 +34,35 @@ class Clause:
     boost: float
 
 
+@dataclass(frozen=True)
+class PhraseClause:
+    """Quoted-phrase clause (the MultiFieldQueryParser phrase surface,
+    Searching.java:254-257). A doc matches when the terms occur at
+    consecutive analyzer positions in ``fld``; positions are assigned
+    AFTER stopword removal (documented divergence from Lucene's
+    position-increment gaps: stopwords inside a phrase are simply
+    elided). Scoring spec: tf = number of phrase occurrences, idf = sum
+    of the constituent terms' idfs (the Lucene PhraseQuery convention),
+    payload = the field weight."""
+    group: int
+    fld: str
+    terms: tuple[str, ...]
+    boost: float
+    must_not: bool = False
+
+
 @dataclass
 class CompiledQuery:
     clauses: list[Clause] = field(default_factory=list)
+    phrases: list[PhraseClause] = field(default_factory=list)
+    #: MUST_NOT single terms (`-term` syntax); not counted in n_groups
+    prohibited: list[Clause] = field(default_factory=list)
     n_groups: int = 0
     text_part: str = ""
     math_parts: list[str] = field(default_factory=list)
+
+    def must_phrase_groups(self) -> list[int]:
+        return sorted({p.group for p in self.phrases if not p.must_not})
 
 
 def separate(query_text: str) -> tuple[str, list[str]]:
@@ -47,6 +70,51 @@ def separate(query_text: str) -> tuple[str, list[str]]:
     maths = _MATH_SPAN_RE.findall(query_text)
     text = _MATH_SPAN_RE.sub(" ", query_text).strip()
     return text, maths
+
+
+#: query-syntax token: optional +/- sign, then "quoted" or bare chunk
+_QTOK_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+_FIELD_PREFIX_RE = re.compile(r"^(content|title):(.*)$", re.DOTALL)
+_TEXT_FIELDS = (FIELD_CONTENT, FIELD_TITLE)
+
+
+def _parse_text_part(q: CompiledQuery, text: str, g: int) -> int:
+    """MultiFieldQueryParser-style surface over (content, title):
+    bare terms = MUST groups, ``"quoted phrases"`` = MUST phrase
+    groups, ``-term``/``-"phrase"`` = MUST_NOT, ``+term`` = MUST
+    (the default), ``content:term``/``title:term`` = single-field.
+    Returns the next group id."""
+    for m in _QTOK_RE.finditer(text):
+        sign, quoted, bare = m.group(1), m.group(2), m.group(3)
+        chunk = quoted if quoted is not None else bare
+        fields = _TEXT_FIELDS
+        fm = _FIELD_PREFIX_RE.match(chunk) if quoted is None else None
+        if fm:
+            fields, chunk = (fm.group(1),), fm.group(2)
+        terms = tokenize(chunk)
+        if not terms:
+            continue
+        is_phrase = quoted is not None and len(terms) > 1
+        if sign == "-":
+            if is_phrase:
+                for fld in fields:
+                    q.phrases.append(PhraseClause(
+                        -1, fld, tuple(terms), 1.0, must_not=True))
+            else:
+                for t in terms:
+                    for fld in fields:
+                        q.prohibited.append(Clause(-1, fld, t, 1.0))
+            continue
+        if is_phrase:
+            for fld in fields:
+                q.phrases.append(PhraseClause(g, fld, tuple(terms), 1.0))
+            g += 1
+        else:
+            for t in terms:
+                for fld in fields:
+                    q.clauses.append(Clause(g, fld, t, 1.0))
+                g += 1
+    return g
 
 
 def compile_query(
@@ -58,11 +126,7 @@ def compile_query(
     q = CompiledQuery()
     text, maths = separate(query_text)
     q.text_part, q.math_parts = text, maths
-    g = 0
-    for term in tokenize(text):
-        q.clauses.append(Clause(g, FIELD_CONTENT, term, 1.0))
-        q.clauses.append(Clause(g, FIELD_TITLE, term, 1.0))
-        g += 1
+    g = _parse_text_part(q, text, 0)
     if maths:
         els = []
         for m in maths:
@@ -110,4 +174,10 @@ def reference_queries() -> list[RefQuery]:
         RefQuery(10, exact, variant="P"),                     # pres-only
         RefQuery(11, "energy", offset=10),                    # paging
         RefQuery(12, "momentum conservation"),                # multi-term 2
+        RefQuery(13, '"items total"'),                        # phrase
+        RefQuery(14, 'partition "items total"'),              # term+phrase
+        RefQuery(15, "energy -momentum"),                     # MUST_NOT term
+        RefQuery(16, '"items total" -"partition weight"'),    # NOT phrase
+        RefQuery(17, "title:relativity"),                     # field prefix
+        RefQuery(18, '"weight return total"'),                # 3-term phrase
     ]

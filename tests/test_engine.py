@@ -272,3 +272,112 @@ def test_python_xxh64_matches_spark(spark):
     for r in rows:
         assert spark_xxhash64_strings([r["field"], r["term"]]) == r["h"]
         assert dbucket_py(r["field"], r["term"], N_DICT_BUCKETS) == r["b"]
+
+
+# -------------------------------------------------- round-2 query features
+
+def test_total_hits_vs_oracle(spark, tiny_build):
+    """Q10 totalHits (Searching.java:206): df plan exact; blocks plan
+    exact when no theta pruning, lower bound (gte) otherwise."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    for qt in ("energy", "electron quantum", "data", '"items total"'):
+        full = O.search(oidx, qt, "BOTH", 10**6)
+        r_df = eng.search(qt, k=5, mode="df", with_fields=False)
+        assert r_df.total_hits == len(full), qt
+        assert r_df.total_hits_relation == "eq"
+        r_bl = eng.search(qt, k=5, mode="blocks", with_fields=False)
+        if r_bl.total_hits_relation == "eq":
+            assert r_bl.total_hits == len(full), qt
+        else:
+            assert len(r_bl.hits) <= r_bl.total_hits <= len(full), qt
+
+
+def test_conjunctive_kernel_pruning(spark, tiny_build):
+    """Conjunctions prune inside the kernel (essential-group candidate
+    ranges): blocks are skipped WITHOUT decoding, results stay
+    rank-identical to the df plan and the oracle."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    q = "energy einstein"
+    exp = O.search(oidx, q, "BOTH", 10)
+    got = eng.search(q, k=10, mode="blocks", with_fields=False)
+    assert eng.last_blocks_stats["skipped_blocks"] > 0
+    assert [int(d) for d in got.hits["doc_id"]] == \
+        [int(d) for d in exp["doc_id"]]
+    assert np.allclose(got.hits["score"].astype(float),
+                       exp["score"].astype(float), atol=1e-6)
+    assert got.total_hits == len(O.search(oidx, q, "BOTH", 10**6))
+    assert got.total_hits_relation == "eq"
+
+
+def test_timeout_partial_and_error_passthrough(spark, tiny_build):
+    """Q9 time-limited search: the deadline returns the partial-result
+    sentinel; REAL errors propagate instead of masquerading as
+    timeouts (they used to be swallowed)."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+
+    def slow(*a, **kw):
+        # a genuinely slow Spark job; must be cancelled by the timer
+        spark.range(200_000_000_000).selectExpr("sum(id * id)").collect()
+        raise AssertionError("job was not cancelled")
+
+    eng._search_body = slow
+    r = eng.search("energy", k=3, timeout_s=0.5)
+    assert r.processed_query == "(timed out)"
+    assert len(r.hits) == 0
+
+    def boom(*a, **kw):
+        raise ValueError("real failure")
+
+    eng._search_body = boom
+    with pytest.raises(ValueError, match="real failure"):
+        eng.search("energy", k=3, timeout_s=30)
+
+
+def test_avgdl_drift_append_upsert_blocks_identical(spark, tmp_path):
+    """ADVICE: after a pure-append upsert moves field avgdl, stale
+    segments' pack-time bounds must stay conservative (avgdl0
+    correction) — theta pruning stays ACTIVE (no tombstones written for
+    pure appends) and blocks-mode results stay rank-identical."""
+    from mias_spark.ops import upsert
+    from mias_spec import corpus as C
+    import pandas as pd
+    c_all = C.make_corpus(300)
+    base, delta = c_all.iloc[:150], c_all.iloc[150:]
+    ix = str(tmp_path / "ixdrift")
+    from mias_spark.build import build_index
+    cat = build_index(spark, spark.createDataFrame(base), ix, n_buckets=2)
+    st0 = cat.props()["field_stats"]["content"]["avgdl"]
+    res = upsert(spark, ix, spark.createDataFrame(delta))
+    assert res["replaced"] == 0
+    eng = Engine(spark, ix)
+    # pure append: NO tombstones materialized (pruning floor stays armed)
+    assert eng.cat.tombstones() is None
+    st1 = eng.field_stats["content"]["avgdl"]
+    oidx = O.build_index(c_all.reset_index(drop=True))
+    for qt, k in (("data", 1), ("data", 3), ("energy", 2)):
+        exp = O.search(oidx, qt, "BOTH", k)
+        got = eng.search(qt, k=k, mode="blocks", with_fields=False)
+        ref = eng.search(qt, k=k, mode="df", with_fields=False)
+        # doc ids diverge between engine and fresh oracle (append order);
+        # compare via doc_key like ops tests: but scores match exactly
+        assert np.allclose(sorted(got.hits["score"].astype(float)),
+                           sorted(ref.hits["score"].astype(float)),
+                           atol=1e-9), (qt, k)
+        assert [int(d) for d in got.hits["doc_id"]] == \
+            [int(d) for d in ref.hits["doc_id"]], (qt, k)
+
+
+def test_duplicate_doc_keys_rejected(spark, tmp_path):
+    """MERGE semantics: duplicate (repo, path, commit) rows in one
+    batch fail fast instead of corrupting the id mapping."""
+    from mias_spec import corpus as C
+    import pandas as pd
+    c = C.make_corpus(20)
+    dup = pd.concat([c, c.iloc[[0]]], ignore_index=True)
+    from mias_spark.build import build_index
+    with pytest.raises(Exception, match="duplicate key"):
+        build_index(spark, spark.createDataFrame(dup),
+                    str(tmp_path / "ixdup"), n_buckets=2)

@@ -57,7 +57,13 @@ def test_decode_stub_contract():
 def test_media_features_shape(spark, media):
     f = media_features(media).toPandas()
     assert len(f) == 120
-    assert all(len(v) == N_FEATURES for v in f["features"])
+    fcols = [f"f{j}" for j in range(N_FEATURES)]
+    assert set(fcols) <= set(f.columns)
+    # scalar feature columns: frame stays sortable/hashable
+    f.sort_values(fcols).reset_index(drop=True)
+    # norm consistent with the scalar columns
+    norms = np.sqrt((f[fcols].to_numpy() ** 2).sum(axis=1))
+    assert np.allclose(norms, f["feat_norm"], atol=1e-3)
     # deterministic across runs
     f2 = media_features(media).toPandas()
     m1 = dict(zip(f["media_id"], f["feat_norm"]))

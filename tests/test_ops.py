@@ -234,3 +234,53 @@ def test_auto_compaction_trigger(spark, tmp_path):
     assert tomb is None or tomb.count() <= ns[-1]
     expected = c[~c["path"].str.contains("src/dir[1235]/", regex=True)]
     _check_query(spark, ix, expected)
+
+
+def test_upsert_is_delta_only(spark, tmp_path):
+    """Incremental maintenance: upsert/delete append dictionary delta
+    segments and never rewrite the base (wall time scales with the
+    delta, not the index) — and field stats update arithmetically."""
+    c = corpus.make_corpus(60)
+    ix = str(tmp_path / "ixdelta")
+    cat = build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng0 = Engine(spark, ix)
+    dict_files = _file_set(eng0.cat.path("dictionary"))
+    norms_files = _file_set(eng0.cat.path("doc_norms"))
+    tok_files = _file_set(eng0.cat.path("tokens"))
+    # replace one doc + add two new ones
+    changed = c.iloc[[3]].copy()
+    changed["content"] = ["<html><body><p>quantum data novelterm</p>"
+                          "</body></html>"]
+    extra = corpus.make_corpus(62).iloc[60:62]
+    import pandas as pd
+    upsert(spark, ix, spark.createDataFrame(
+        pd.concat([changed, extra], ignore_index=True)))
+    eng = Engine(spark, ix)
+    # base files untouched; only NEW files appended
+    assert dict_files <= _file_set(eng.cat.path("dictionary"))
+    assert len(_file_set(eng.cat.path("dictionary"))) > len(dict_files)
+    assert norms_files <= _file_set(eng.cat.path("doc_norms"))
+    assert tok_files <= _file_set(eng.cat.path("tokens"))
+    # merged df view + arithmetic stats agree with a full recount
+    from mias_spark.ops import live_tokens
+    from pyspark.sql import functions as F
+    truth = {(r["field"], r["term"]): r["n"] for r in
+             live_tokens(eng.cat).groupBy("field", "term")
+             .agg(F.count("*").alias("n")).collect()}
+    merged = {(r["field"], r["term"]): r["df"] for r in
+              eng.cat.read_dictionary().where(F.col("df") != 0).collect()}
+    assert merged == truth
+    st = live_tokens(eng.cat).groupBy("doc_id", "field").agg(
+        F.first("dl").alias("dl")).groupBy("field").agg(
+        F.count("*").alias("n"), F.avg("dl").alias("a")).collect()
+    for r in st:
+        fs = eng.field_stats[r["field"]]
+        assert fs["n_docs"] == r["n"]
+        assert abs(fs["avgdl"] - r["a"]) < 1e-9
+    # new term got a fresh id above the high-water mark
+    nt = eng.cat.read_dictionary().where(F.col("term") == "novelterm")
+    assert nt.count() == 1
+    # search correctness after the delta (oracle over equivalent corpus)
+    expected = pd.concat([c.drop(index=3), changed, extra],
+                         ignore_index=True)
+    _check_query(spark, ix, expected, query="quantum")

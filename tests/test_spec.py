@@ -279,3 +279,56 @@ def test_varint_split_matches_per_block():
         assert p == encode_varints(vals[bounds[i]:bounds[i + 1]])
     assert encode_varints_split(np.array([], dtype=np.uint64),
                                 np.array([], dtype=np.int64)) == []
+
+
+def test_query_parser_syntax():
+    """Phrase / MUST_NOT / field-prefix surface of compile_query
+    (the MultiFieldQueryParser analog, Searching.java:254-257)."""
+    from mias_spec.queries import compile_query
+    q = compile_query('energy "items total" -momentum title:light '
+                      '-"return total"')
+    # bare term -> one group over both fields
+    eg = [c for c in q.clauses if c.term == "energy"]
+    assert {c.fld for c in eg} == {"content", "title"}
+    assert len({c.group for c in eg}) == 1
+    # field prefix -> single-field clause, own group
+    lg = [c for c in q.clauses if c.term == "light"]
+    assert [(c.fld,) for c in lg] == [("title",)]
+    # phrase -> PhraseClause per field, shared group
+    must = [p for p in q.phrases if not p.must_not]
+    assert {p.terms for p in must} == {("items", "total")}
+    assert {p.fld for p in must} == {"content", "title"}
+    assert len({p.group for p in must}) == 1
+    # MUST_NOT term + phrase
+    assert {c.term for c in q.prohibited} == {"momentum"}
+    notp = [p for p in q.phrases if p.must_not]
+    assert {p.terms for p in notp} == {("return", "total")}
+    # groups: energy, phrase, title:light = 3 (negatives don't count)
+    assert q.n_groups == 3
+    # stopwords inside a phrase are elided, 1-term phrases degrade
+    q2 = compile_query('"the energy"')
+    assert not q2.phrases and q2.n_groups == 1
+    # quoting-only query with all stopwords matches nothing, parses fine
+    q3 = compile_query('"the a"')
+    assert q3.n_groups == 0 and not q3.clauses
+
+
+def test_oracle_phrase_semantics():
+    """Phrase tf counts occurrences; adjacency is post-stopword."""
+    import pandas as pd
+    from mias_spec import oracle as O
+    c = pd.DataFrame([
+        {"repo": "r", "path": "a.txt", "commit": "0", "lang": "text",
+         "content": "alpha beta gamma alpha beta the beta"},
+        {"repo": "r", "path": "b.txt", "commit": "0", "lang": "text",
+         "content": "alpha the beta gamma"},  # stopword elided: adjacent
+        {"repo": "r", "path": "c.txt", "commit": "0", "lang": "text",
+         "content": "alpha gamma beta"},      # not adjacent
+    ])
+    idx = O.build_index(c)
+    hits = O.search(idx, '"alpha beta"', k=10)
+    keys = idx.docs.set_index("doc_id").loc[hits["doc_id"], "doc_key"]
+    import hashlib
+    def dk(p):
+        return hashlib.sha256(f"r|{p}|0".encode()).hexdigest()
+    assert set(keys) == {dk("a.txt"), dk("b.txt")}
