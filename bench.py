@@ -73,7 +73,7 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
     with clock("build_index"):
         build_index(spark, corpus, ix, n_buckets=8, resume=False)
 
-    eng = Engine(spark, ix)
+    eng = Engine(spark, ix, cache=True)
     math_q = render_math(EXACT_AST)
     searches = [
         ("search_text_df", "spark join merge", "df"),
@@ -81,12 +81,19 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
         ("search_conj_df", "spark AND join", "df"),
         ("search_math_df", math_q, "df"),
         ("search_math_blocks", math_q, "blocks"),
+        ("search_phrase_df", '"items total" -momentum', "df"),
     ]
     for name, q, mode in searches:
         with clock(name):
             eng.search(q, k=20, mode=mode, with_fields=False)
+    # warm-path latency: same queries again on the cached Engine
+    # (memoized dictionary lookups + persisted hot partitions)
+    for name, q, mode in searches[:2] + searches[3:4]:
+        with clock(name + "_warm"):
+            eng.search(q, k=20, mode=mode, with_fields=False)
 
-    for op in ("dedup_minhash", "ann_cosine_topk", "tpch_q1"):
+    for op in ("dedup_minhash", "ann_cosine_topk", "ann_bucketed_topk",
+               "tpch_q1"):
         fn, _sql = REGISTRY[op]
         with clock(op):
             fn(spark, sf_dir).count()

@@ -90,6 +90,8 @@ def main(argv: list[str]) -> int:
                          snippets=True)
         print(json.dumps({
             "processed_query": res.processed_query,
+            "total_hits": res.total_hits,
+            "total_hits_relation": res.total_hits_relation,
             "hits": res.hits.to_dict(orient="records"),
         }, default=str))
     else:

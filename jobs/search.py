@@ -43,6 +43,8 @@ def main() -> None:
         "query_terms": res.query_terms,
         "total_groups": res.total_groups,
         "processed_query": res.processed_query,
+        "total_hits": res.total_hits,
+        "total_hits_relation": res.total_hits_relation,
         "secs": round(time.time() - t0, 3),
         "hits": res.hits.to_dict(orient="records"),
     }

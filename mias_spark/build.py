@@ -153,10 +153,10 @@ def build_index(
         # contiguous (bucket, term) slice, so the partitionBy writer
         # emits ~1 file per task instead of n_buckets small files each
         n_out = max(n_buckets, 2 * spark.sparkContext.defaultParallelism)
-        (posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
-              .sortWithinPartitions("term_id", "doc_id")
-              .write.mode("overwrite").partitionBy("bucket")
-              .parquet(cat.path("postings")))
+        cat.write(posts.repartitionByRange(n_out, "bucket", "term_id",
+                                           "doc_id")
+                  .sortWithinPartitions("term_id", "doc_id"),
+                  "postings", partition_by=["bucket"])
         cat.commit_table("postings")
         cat.set_props(n_buckets=n_buckets)
         cat.metric("postings", secs=time.time() - ts)
@@ -226,8 +226,7 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
             .withColumn("bucket",
                         F.pmod("term_id", F.lit(n_buckets)).cast("int"))
         )
-        (packed.write.mode("overwrite").partitionBy("bucket")
-               .parquet(cat.path("blocks")))
+        cat.overwrite_partitions(packed, "blocks", ["bucket"])
         for b in todo:
             cat.checkpoint("blocks", f"bucket={b}", rows=-1,
                            t_start=ts, t_end=time.time())

@@ -30,8 +30,38 @@ MANIFEST = "manifest.json"
 
 @dataclass
 class Catalog:
+    """Storage layer. Two bindings behind one surface:
+
+    - **parquet** (default, sandbox): partitioned parquet dirs under
+      ``root`` + a manifest JSON; overwrite = stage + atomic rename.
+    - **iceberg**: when the session has an Iceberg catalog configured
+      under ``spark.sql.catalog.<name>`` AND ``mias.catalog`` names it
+      (``spark.conf.set("mias.catalog", "<name>")``), every table
+      routes through `writeTo(...).createOrReplace()/append()` and
+      `spark.table(...)` — real snapshot semantics; the staging-rename
+      dance disappears. Not exercisable in this sandbox (no Iceberg
+      runtime jar) but the seam is one class wide by design.
+    """
     spark: SparkSession
     root: str
+
+    # ------------------------------------------------------------- binding
+    def _iceberg_ns(self) -> str | None:
+        """`<catalog>.<namespace>` when Iceberg mode is on, else None."""
+        try:
+            name = self.spark.conf.get("mias.catalog")
+        except Exception:
+            return None
+        if not name:
+            return None
+        ns = "".join(ch if ch.isalnum() else "_"
+                     for ch in os.path.basename(self.root.rstrip("/")))
+        return f"{name}.mias_{ns}"
+
+    def _ident(self, table: str) -> str:
+        ns = self._iceberg_ns()
+        tbl = "".join(ch if ch.isalnum() else "_" for ch in table)
+        return f"{ns}.t_{tbl}"
 
     # ------------------------------------------------------------ manifest
     def _mpath(self) -> str:
@@ -58,12 +88,21 @@ class Catalog:
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
+        if self._iceberg_ns():
+            w = df.writeTo(self._ident(table))
+            if partition_by:
+                from pyspark.sql import functions as F
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        if self._iceberg_ns():
+            return self.spark.table(self._ident(table))
         r = self.spark.read
         if merge_schema:
             r = r.option("mergeSchema", "true")
@@ -89,6 +128,10 @@ class Catalog:
         snapshot-replace analog — `writeTo(t).createOrReplace()` on a
         real catalog). ALL filesystem manipulation lives here, so the
         object-store port touches exactly one class."""
+        if self._iceberg_ns():
+            # Iceberg snapshots make read-while-replace safe natively
+            self.write(df, table, partition_by)
+            return
         import shutil
         tmp = self.path(f"_{table.replace('/', '_')}_new")
         w = df.write.mode("overwrite")
@@ -98,9 +141,31 @@ class Catalog:
         shutil.rmtree(self.path(table), ignore_errors=True)
         shutil.move(tmp, self.path(table))
 
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_by: list[str]) -> None:
+        """Dynamic partition overwrite: replace only the partitions
+        present in ``df`` (the chunked blocks build writes a few term
+        buckets per job). Caller must set
+        spark.sql.sources.partitionOverwriteMode=dynamic for the
+        parquet binding; Iceberg has native overwritePartitions()."""
+        if self._iceberg_ns():
+            try:
+                df.writeTo(self._ident(table)).overwritePartitions()
+            except Exception:
+                self.write(df, table, partition_by)
+            return
+        (df.write.mode("overwrite").partitionBy(*partition_by)
+         .parquet(self.path(table)))
+
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
         """Append a delta segment (Iceberg append-snapshot analog)."""
+        if self._iceberg_ns():
+            try:
+                df.writeTo(self._ident(table)).append()
+            except Exception:           # first segment: create the table
+                self.write(df, table, partition_by)
+            return
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -120,8 +185,11 @@ class Catalog:
         return self.manifest()["tables"].get(table, {}).get("status") == "done"
 
     def drop(self, table: str) -> None:
-        import shutil
-        shutil.rmtree(self.path(table), ignore_errors=True)
+        if self._iceberg_ns():
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(table)}")
+        else:
+            import shutil
+            shutil.rmtree(self.path(table), ignore_errors=True)
         m = self.manifest()
         m["tables"].pop(table, None)
         self._save(m)
@@ -156,6 +224,8 @@ class Catalog:
 
     # ----------------------------------------------------------- tombstones
     def has_table(self, table: str) -> bool:
+        if self._iceberg_ns():
+            return self.spark.catalog.tableExists(self._ident(table))
         return os.path.isdir(self.path(table))
 
     def tombstones(self) -> DataFrame | None:
@@ -163,13 +233,15 @@ class Catalog:
         None when the index has no tombstones."""
         if not self.has_table("tombstones"):
             return None
-        return self.spark.read.parquet(self.path("tombstones"))
+        return self.read("tombstones")
 
     def add_tombstones(self, doc_ids: DataFrame) -> None:
-        (doc_ids.select("doc_id").write.mode("append")
-         .parquet(self.path("tombstones")))
+        self.append(doc_ids.select("doc_id"), "tombstones")
 
     def clear_tombstones(self) -> None:
+        if self._iceberg_ns():
+            self.drop("tombstones")
+            return
         import shutil
         shutil.rmtree(self.path("tombstones"), ignore_errors=True)
 
@@ -200,8 +272,7 @@ class Catalog:
                 continue
             sdf = self.spark.createDataFrame(pdf.astype(object).where(
                 pdf.notna(), None))
-            sdf.coalesce(1).write.mode("overwrite").parquet(
-                self.path(f"_meta/{name}"))
+            self.write(sdf.coalesce(1), f"_meta/{name}")
 
     def meta_table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(f"_meta/{name}"))
+        return self.read(f"_meta/{name}")

@@ -305,8 +305,7 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     sorted_posts = (
         posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
         .sortWithinPartitions("term_id", "doc_id"))
-    sorted_posts.write.mode("append").partitionBy("bucket") \
-        .parquet(cat.path("postings"))
+    cat.append(sorted_posts, "postings", ["bucket"])
     cat.commit_table("postings")
     from mias_spark import blocks as blk
     from mias_spark.build import _salted
@@ -316,8 +315,7 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
               .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
               .withColumn("bucket",
                           F.pmod("term_id", F.lit(n_buckets)).cast("int")))
-    packed.write.mode("append").partitionBy("bucket") \
-        .parquet(cat.path("blocks"))
+    cat.append(packed, "blocks", ["bucket"])
     cat.commit_table("blocks")
     cat.flush_meta()
 

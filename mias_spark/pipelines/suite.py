@@ -549,16 +549,21 @@ def _ann_coord(t: int, i: int) -> int:
 
 def ann_bucketed_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tabs = None
-    for t in range(_ANN_TABLES):
-        bkt = None
+
+    def bkt(t):
+        out = None
         for i in range(_ANN_BITS):
             bit = F.when(F.element_at("embedding", _ann_coord(t, i) + 1) > 0,
                          2 ** i).otherwise(0)
-            bkt = bit if bkt is None else bkt + bit
-        part = emb.select("vec_id", F.lit(t).alias("tbl"),
-                          bkt.cast("long").alias("bkt"))
-        tabs = part if tabs is None else tabs.unionByName(part)
+            out = bit if out is None else out + bit
+        return out.cast("long")
+
+    # ALL tables in one scan + one explode (not a T-way union of scans)
+    tabs = (emb.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"), bkt(t).alias("bkt"))
+        for t in range(_ANN_TABLES)])).alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"),
+                F.col("tb.bkt").alias("bkt")))
     qt = (tabs.where(F.col("vec_id") < _NQ)
           .select(F.col("vec_id").alias("qid"), "tbl", "bkt"))
     cand = (tabs.join(F.broadcast(qt), ["tbl", "bkt"])

@@ -53,12 +53,43 @@ class SearchResult:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    """One Engine pins one index snapshot. ``cache=True`` arms the
+    interactive-latency path: dictionary lookups memoize driver-side
+    (a repeated term costs ZERO Spark jobs to compile) and the
+    postings/blocks/doc_store tables persist in executor memory —
+    lazily, so only the partitions queries actually scan materialize
+    (the hot-bucket model; at 100 TB the cold buckets stay on disk).
+    After an upsert/delete, build a fresh Engine — like reopening a
+    Lucene IndexReader on a new commit point."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache: bool = False):
         self.spark = spark
         self.cat = Catalog(spark, index_dir)
         props = self.cat.props()
         self.field_stats = props["field_stats"]
         self.n_buckets = props["n_buckets"]
+        self._cache = cache
+        self._tables: dict[str, DataFrame] = {}
+        self._term_cache: dict[tuple[str, str], tuple | None] = {}
+        #: term_id -> raw per-block (max_score, idf0, avgdl0) + extents
+        self._block_meta: dict[int, tuple] = {}
+
+    def _table(self, name: str) -> DataFrame:
+        if not self._cache:
+            return self.cat.read(name)
+        if name not in self._tables:
+            df = self.cat.read(name)
+            df.persist()
+            self._tables[name] = df
+        return self._tables[name]
+
+    def close(self) -> None:
+        for df in self._tables.values():
+            df.unpersist()
+        self._tables.clear()
+        self._term_cache.clear()
+        self._block_meta.clear()
 
     # ------------------------------------------------------------- compile
     def compile(self, query_text: str, variant: str = "BOTH",
@@ -81,24 +112,39 @@ class Engine:
         # partition-pruned dictionary lookup: compute each pair's
         # dbucket (tiny local job, no table scan) and read only those
         # partitions — |query terms| buckets instead of the full
-        # dictionary (build.py _dbucket; 10^9 terms at target scale)
-        from mias_spark.build import N_DICT_BUCKETS
-        from mias_spark.hashing import dbucket_py
-        dic = self.cat.read("dictionary")
-        if "dbucket" in dic.columns:
-            # pure-Python xxh64 == F.xxhash64 bit-for-bit: the bucket
-            # keys cost zero Spark jobs
-            dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
-                               for f, t in pairs})
-            dic = dic.where(F.col("dbucket").isin(dbuckets))
-        cond = F.concat_ws("\x00", "field", "term").isin(
-            ["\x00".join(p) for p in pairs])
-        # merge the base + delta dictionary segments for the looked-up
-        # terms only: df is additive across segments (ops.py upsert)
-        found = {(r["field"], r["term"]): (r["term_id"], r["df"])
-                 for r in dic.where(cond)
-                 .groupBy("field", "term", "term_id")
-                 .agg(F.sum("df").alias("df")).collect()}
+        # dictionary (build.py _dbucket; 10^9 terms at target scale).
+        # With cache=True, previously-seen terms (hits AND misses)
+        # resolve driver-side — a repeated query compiles with zero jobs
+        todo = [p for p in pairs if p not in self._term_cache] \
+            if self._cache else pairs
+        if todo:
+            from mias_spark.build import N_DICT_BUCKETS
+            from mias_spark.hashing import dbucket_py
+            dic = self._table("dictionary")
+            if "dbucket" in dic.columns:
+                # pure-Python xxh64 == F.xxhash64 bit-for-bit: the bucket
+                # keys cost zero Spark jobs
+                dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
+                                   for f, t in todo})
+                dic = dic.where(F.col("dbucket").isin(dbuckets))
+            cond = F.concat_ws("\x00", "field", "term").isin(
+                ["\x00".join(p) for p in todo])
+            # merge the base + delta dictionary segments for the
+            # looked-up terms only: df is additive across segments
+            got = {(r["field"], r["term"]): (r["term_id"], r["df"])
+                   for r in dic.where(cond)
+                   .groupBy("field", "term", "term_id")
+                   .agg(F.sum("df").alias("df")).collect()}
+            if self._cache:
+                for p in todo:
+                    self._term_cache[p] = got.get(p)
+        else:
+            got = {}
+        if self._cache:
+            found = {p: v for p in pairs
+                     if (v := self._term_cache[p]) is not None}
+        else:
+            found = got
         rows = []
         for c in sorted(q.clauses, key=lambda c: (c.fld, c.term, c.group)):
             hit = found.get((c.fld, c.term))
@@ -229,16 +275,30 @@ class Engine:
             )
             if banned is not None:
                 agg = agg.join(banned, "doc_id", "leftanti")
-            # Q10 total hits + top-k off ONE materialization (persist
-            # spans the two jobs; MEMORY_AND_DISK so a match-all agg at
-            # scale spills instead of OOMing)
-            agg = agg.persist()
-            try:
-                total_hits, rel = int(agg.count()), "eq"
-                pdf = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
-                       .limit(offset + k).toPandas())
-            finally:
-                agg.unpersist()
+            # Q10 total hits: the count() branch runs CONCURRENTLY with
+            # the top-k collect (two independent small jobs; wall time
+            # is max, not sum — Lucene gets this for free inside one
+            # collector pass, we get it from the scheduler). Both jobs
+            # re-scan the bucket-pruned postings slice; no persist —
+            # a materialization barrier costs more than the second
+            # pass over an already-pruned (and often cached) scan.
+            import threading
+            side: dict = {}
+
+            def _count():
+                try:
+                    side["n"] = agg.count()
+                except Exception as e:       # surfaced after join
+                    side["err"] = e
+
+            t = threading.Thread(target=_count)
+            t.start()
+            pdf = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(offset + k).toPandas())
+            t.join()
+            if "err" in side:
+                raise side["err"]
+            total_hits, rel = int(side["n"]), "eq"
         else:
             pdf, total_hits, rel = self._topk_blocks(
                 clauses, k + offset, n_groups - n_pg, n_pg, must_df, banned)
@@ -249,7 +309,7 @@ class Engine:
             cols = ["doc_id", "id", "repo", "path", "title"]
             if snippets:
                 cols += ["content", "lang"]
-            disp = (self.cat.read("doc_store")
+            disp = (self._table("doc_store")
                     .where(F.col("doc_id").isin(ids))
                     .select(*cols)
                     .toPandas())
@@ -280,7 +340,7 @@ class Engine:
         from postings for the k hit docs only."""
         ids = [int(d) for d in hits["doc_id"]]
         posts = (
-            self.cat.read("postings")
+            self._table("postings")
             .where(F.col("bucket").isin([int(b) for b in
                                          set(clauses["bucket"])]))
             .where(F.col("term_id").isin([int(t) for t in
@@ -319,7 +379,7 @@ class Engine:
     def _phrase_postings(self, tids: list[int]):
         n_buckets = self.n_buckets
         buckets = sorted({t % n_buckets for t in tids})
-        return (self.cat.read("postings")
+        return (self._table("postings")
                 .where(F.col("bucket").isin([int(b) for b in buckets]))
                 .where(F.col("term_id").isin([int(t) for t in tids]))
                 .select("term_id", "doc_id", "positions", "dl"))
@@ -383,7 +443,7 @@ class Engine:
     def _score_dataframe(self, clauses: pd.DataFrame) -> DataFrame:
         cdf = self.spark.createDataFrame(clauses, CLAUSE_SCHEMA)
         posts = (
-            self.cat.read("postings")
+            self._table("postings")
             .where(F.col("bucket").isin([int(b) for b in
                                          set(clauses["bucket"])]))
             .where(F.col("term_id").isin([int(t) for t in
@@ -472,7 +532,7 @@ class Engine:
                               "score": pd.Series(dtype="float64")})
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
-        bdf = (self.cat.read("blocks")
+        bdf = (self._table("blocks")
                .where(F.col("bucket").isin(buckets))
                .where(F.col("term_id").isin(terms)))
         cmap: dict[int, list[tuple[int, float]]] = {}
@@ -481,19 +541,65 @@ class Engine:
                 (int(r.grp), float(r.boost)))
         max_boost = {t: max(b for _, b in es) for t, es in cmap.items()}
 
-        # ---- driver metadata: ONE tiny agg job over block stats columns
-        # (per-term top-n adjusted bounds + doc extent; <= n_terms rows).
-        # collect_list is over block-LEVEL stats (df/BLOCK_SIZE values per
-        # term); if a term's block count itself becomes driver-hostile
-        # (df >> 10^9), swap this agg for a bounded two-level top-n merge.
+        # ---- driver metadata: per-term raw block stats -> adjusted
+        # pruning bounds. With cache=True the RAW stats (max_score,
+        # idf0, avgdl0 per block + extents) memoize per term, so a
+        # repeat term costs ZERO Spark jobs here and only the adjusted
+        # bounds (query-fresh idf/avgdl) recompute in numpy. Without
+        # the cache it is ONE tiny agg job (<= n_terms rows back). The
+        # per-term stats are df/BLOCK_SIZE values; if a term's block
+        # count itself becomes driver-hostile (df >> 10^9), swap the
+        # collect for a bounded two-level top-n merge.
+        fresh = {int(r.term_id): (float(r.idf), float(r.avgdl))
+                 for r in clauses.drop_duplicates("term_id").itertuples()}
+        for c in ("idf0", "avgdl0"):      # pre-snapshot index: scale = 1
+            if c not in bdf.columns:
+                bdf = bdf.withColumn(c, F.lit(None).cast("double"))
+        todo = ([t for t in terms if t not in self._block_meta]
+                if self._cache else terms)
+        raw: dict[int, tuple] = {}
+        if todo:
+            src = bdf if todo == terms else bdf.where(
+                F.col("term_id").isin(todo))
+            for r in (src.groupBy("term_id").agg(
+                    F.collect_list(F.struct("max_score", "idf0", "avgdl0"))
+                    .alias("bs"),
+                    F.sum("n_docs").alias("npost"),
+                    F.min("first_doc").alias("blo"),
+                    F.max("last_doc").alias("bhi"))).collect():
+                ms = np.array([b["max_score"] for b in r["bs"]])
+                i0 = np.array([np.nan if b["idf0"] is None else b["idf0"]
+                               for b in r["bs"]])
+                a0 = np.array([np.nan if b["avgdl0"] is None else b["avgdl0"]
+                               for b in r["bs"]])
+                raw[int(r["term_id"])] = (ms, i0, a0, int(r["npost"]),
+                                          int(r["blo"]), int(r["bhi"]))
+            if self._cache:
+                self._block_meta.update(raw)
+        if self._cache:
+            raw = {t: self._block_meta[t] for t in terms
+                   if t in self._block_meta}
+        mrows = []
+        for t, (ms, i0, a0, npost, blo, bhi) in raw.items():
+            fidf, favgdl = fresh[t]
+            scale = fidf / np.maximum(np.where(np.isnan(i0), fidf, i0),
+                                      1e-12)
+            ratio = favgdl / np.maximum(np.where(np.isnan(a0), favgdl, a0),
+                                        1e-12)
+            lb = np.sort(ms * scale * np.minimum(ratio, 1.0))[::-1]
+            mrows.append({"term_id": t, "tops": lb[:topn].tolist(),
+                          "ubm": float((ms * scale
+                                        * np.maximum(ratio, 1.0)).max()),
+                          "nb": len(ms), "npost": npost,
+                          "blo": blo, "bhi": bhi})
+        if not mrows:
+            return empty, 0, "eq"
+        # Catalyst expressions for the pushed-down block-skip filter
         fresh_df = self.spark.createDataFrame(
             clauses[["term_id", "idf", "avgdl"]]
             .drop_duplicates("term_id")
             .rename(columns={"idf": "fidf", "avgdl": "favgdl"}),
             "term_id long, fidf double, favgdl double")
-        for c in ("idf0", "avgdl0"):      # pre-snapshot index: scale = 1
-            if c not in bdf.columns:
-                bdf = bdf.withColumn(c, F.lit(None).cast("double"))
         idf_scale = (F.col("fidf")
                      / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
         avgdl_ratio = (F.col("favgdl")
@@ -501,19 +607,6 @@ class Engine:
                                     F.lit(1e-12)))
         adj_ub = (F.col("max_score") * idf_scale
                   * F.greatest(avgdl_ratio, F.lit(1.0)))
-        adj_lb = (F.col("max_score") * idf_scale
-                  * F.least(avgdl_ratio, F.lit(1.0)))
-        mrows = (bdf.join(F.broadcast(fresh_df), "term_id")
-                 .groupBy("term_id").agg(
-            F.slice(F.sort_array(F.collect_list(adj_lb), False),
-                    1, topn).alias("tops"),
-            F.max(adj_ub).alias("ubm"),
-            F.count("*").alias("nb"),
-            F.sum("n_docs").alias("npost"),
-            F.min("first_doc").alias("blo"),
-            F.max("last_doc").alias("bhi"))).collect()
-        if not mrows:
-            return empty, 0, "eq"
         lo = min(int(r["blo"]) for r in mrows)
         hi = max(int(r["bhi"]) for r in mrows)
         tomb = self.cat.tombstones()

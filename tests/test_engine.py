@@ -319,8 +319,10 @@ def test_timeout_partial_and_error_passthrough(spark, tiny_build):
     eng = Engine(spark, ix)
 
     def slow(*a, **kw):
-        # a genuinely slow Spark job; must be cancelled by the timer
-        spark.range(200_000_000_000).selectExpr("sum(id * id)").collect()
+        # a genuinely slow Spark job (no overflow — ANSI mode would
+        # fail it with a REAL error before the cancel landed); must be
+        # cancelled by the timer
+        spark.range(500_000_000_000).selectExpr("sum(id % 97)").collect()
         raise AssertionError("job was not cancelled")
 
     eng._search_body = slow
