@@ -89,6 +89,37 @@ def _math_formula_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_formula_docs(spark.createDataFrame(make_corpus(200)))
 
 
+def _stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Structured Streaming micro-batch ingest — readStream
+    over a corpus drop-dir -> foreachBatch -> the delta-only MERGE
+    upsert; returns the final live doc_store keys (oracle = pytest
+    tests/test_streaming.py, which checks rank identity vs a batch
+    build of the same union)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mias_spark.build import build_index
+    from mias_spark.ops import live_store
+    from mias_spark.search import Engine
+    from mias_spark.streaming import stream_upsert
+    from mias_spec.corpus import make_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "mias_stream_entry")
+    shutil.rmtree(root, ignore_errors=True)
+    ix, src = os.path.join(root, "ix"), os.path.join(root, "incoming")
+    os.makedirs(src)
+    c = make_corpus(60)
+    build_index(spark, spark.createDataFrame(c.iloc[:40]), ix, n_buckets=2)
+    spark.createDataFrame(c.iloc[40:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_upsert(spark, ix, src, trigger_available_now=True)
+    eng = Engine(spark, ix)
+    return (live_store(eng.cat)
+            .select("doc_key", "path", "content_sha256")
+            .orderBy(F.asc("doc_key")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
@@ -96,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["math_mterm_annotate"] = _math_mterms
     out["math_search_topk"] = _math_search_topk
     out["math_formula_docs"] = _math_formula_docs
+    out["stream_ingest"] = _stream_ingest
     return out
 
 

@@ -149,7 +149,31 @@ def _append_dictionary_delta(spark: SparkSession, cat: Catalog,
         cat.append(new_ids.select("field", "term", "df", "term_id",
                                   "dbucket"), "dictionary", ["dbucket"])
         cat.set_props(next_term_id=int(next_id) + int(n_new))
+    cat.set_props(dict_segments=int(cat.props().get("dict_segments", 0)) + 1)
     cat.commit_table("dictionary")
+    maybe_fold_dictionary(cat)
+
+
+DICT_FOLD_SEGMENTS = 16
+
+
+def maybe_fold_dictionary(cat: Catalog,
+                          max_segments: int | None = None) -> bool:
+    """Merge-policy for the dictionary alone: after ``max_segments``
+    delta appends, fold base + deltas into one clean base (term_ids
+    preserved, signed df summed, df<=0 rows dropped) WITHOUT touching
+    postings/blocks. Bounds the per-query merge fan-in under sustained
+    upserts; `optimize` still does the full fold as part of compaction."""
+    if max_segments is None:
+        max_segments = DICT_FOLD_SEGMENTS
+    n_seg = int(cat.props().get("dict_segments", 0))
+    if n_seg < max_segments:
+        return False
+    merged = cat.read_dictionary().where(F.col("df") > 0)
+    cat.overwrite(merged, "dictionary", ["dbucket"])
+    cat.set_props(dict_segments=0)
+    cat.commit_table("dictionary", folded_segments=n_seg)
+    return True
 
 
 # ------------------------------------------------------------ stats refresh
@@ -193,7 +217,7 @@ def rebuild_stats(spark: SparkSession, cat: Catalog) -> None:
     from mias_spark.build import _dbucket
     cat.overwrite(dic.withColumn("dbucket", _dbucket()), "dictionary",
                   ["dbucket"])
-    cat.set_props(next_term_id=int(next_id))
+    cat.set_props(next_term_id=int(next_id), dict_segments=0)
     n_terms = cat.read("dictionary").count()
     cat.commit_table("dictionary", rows=n_terms)
 

@@ -176,7 +176,7 @@ class Engine:
                 viable_groups.add(p.group)
             st = self.field_stats[p.fld]
             pplan["must_not" if p.must_not else "must"].append({
-                "grp": p.group, "fld": p.fld,
+                "grp": p.group, "fld": p.fld, "terms": list(p.terms),
                 "tids": [int(h[0]) for h in hits],
                 "idf_p": sum(idf_fn(int(st["n_docs"]), int(h[1]))
                              for h in hits),
@@ -328,17 +328,32 @@ class Engine:
                     for ct, lg in zip(hits["content"], hits["lang"])]
                 hits = hits.drop(columns=["content", "lang"])
         if debug and len(hits):
-            hits["explain"] = self._explain(clauses, hits, n_groups)
+            hits["explain"] = self._explain(clauses, hits, n_groups, pplan)
         return SearchResult(hits, n_groups, len(clauses), processed,
                             total_hits, rel)
 
     # -------------------------------------------------------------- explain
     def _explain(self, clauses: pd.DataFrame, hits: pd.DataFrame,
-                 n_groups: int) -> list[str]:
+                 n_groups: int, pplan: dict | None = None) -> list[str]:
         """Q12 per-hit score breakdown (Searching.java:328-330): one
-        line per matched clause with the BM25 components, recomputed
-        from postings for the k hit docs only."""
+        line per matched clause — term AND phrase — with the BM25
+        components, recomputed from postings for the k hit docs only."""
         ids = [int(d) for d in hits["doc_id"]]
+        # phrase-clause lines: ptf/dl per hit doc from the positional
+        # postings (same chain the scorer used, restricted to k docs)
+        phrase_lines: dict[int, list[str]] = {}
+        for p in (pplan or {}).get("must", []):
+            m = (self._phrase_match(p)
+                 .where(F.col("doc_id").isin(ids)).collect())
+            for r in m:
+                ptf, dl = float(r["ptf"]), float(r["dl"])
+                s = (p["boost"] * p["w"] * p["idf_p"] * ptf * (BM25_K1 + 1.0)
+                     / (ptf + BM25_K1 * (1.0 - BM25_B
+                                         + BM25_B * dl / p["avgdl"])))
+                phrase_lines.setdefault(int(r["doc_id"]), []).append(
+                    f"g{p['grp']}:{p['fld']}:\"{' '.join(p['terms'])}\" "
+                    f"idf_p={p['idf_p']:.4g} ptf={ptf:.0f} dl={dl:.0f} "
+                    f"score={s:.6g}")
         posts = (
             self._table("postings")
             .where(F.col("bucket").isin([int(b) for b in
@@ -372,6 +387,7 @@ class Engine:
                     f"g{c.grp}:{fld}:{term} boost={c.boost:.4g} "
                     f"idf={c.idf:.4g} tf={tf:.0f} dl={dl:.0f} "
                     f"avg_w={wsum / tf:.4g} score={s:.6g}")
+            lines.extend(phrase_lines.get(d, []))
             out.append("; ".join(lines))
         return out
 

