@@ -52,6 +52,177 @@ class SearchResult:
     total_hits_relation: str = "eq"   # "eq" | "gte"
 
 
+def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
+                allow_docs=None, allow_ps=None) -> pd.DataFrame:
+    """The per-shard block kernel (module-level so unit tests can
+    drive it directly on synthetic block frames; see
+    Engine._topk_blocks for the plan that feeds it)."""
+    (cmap_l, ngroups, n_top, lo_l, span_l, ns, gm, eg_l,
+     h_allow) = params
+    acc_docs, acc_grps, acc_scores, order = [], [], [], []
+    n_skipped = 0
+
+    def decode(row):
+        docs, tfs, dls, ws = blk.unpack_block(row)
+        mask = ((docs - lo_l) * ns // span_l) == row.shard
+        if dead_l is not None and len(dead_l):
+            # liveDocs filter: drop tombstoned/banned docs
+            idx = np.searchsorted(dead_l, docs)
+            idx[idx == len(dead_l)] = 0
+            mask &= dead_l[idx] != docs
+        if h_allow:
+            # phrase-group allowlist: only docs matching every
+            # MUST phrase can satisfy the full conjunction
+            if allow_docs is None or not len(allow_docs):
+                mask &= False
+            else:
+                idx = np.searchsorted(allow_docs, docs)
+                idx[idx == len(allow_docs)] = 0
+                mask &= allow_docs[idx] == docs
+        return docs[mask], tfs[mask], dls[mask], ws[mask]
+
+    def accumulate(row, entries, docs, tfs, dls, ws):
+        tf = tfs.astype(np.float64)
+        base = (ws / tf) * row.idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B
+                            + BM25_B * dls / row.avgdl))
+        for grp, boost in entries:
+            acc_docs.append(docs)
+            acc_grps.append(np.full(len(docs), grp, np.int64))
+            acc_scores.append(boost * base)
+            order.append((int(row.term_id), int(row.salt),
+                          int(row.block_ord), grp))
+
+    if ngroups > 1:
+        # essential-group pruning: decode the cheapest group,
+        # then skip/mask every other block by its candidates
+        eg_rows, other_rows = [], []
+        for row in pdf.itertuples():
+            entries = cmap_l.get(int(row.term_id))
+            if not entries:
+                continue
+            if any(g == eg_l for g, _ in entries):
+                eg_rows.append((row, entries))
+            else:
+                other_rows.append((row, entries))
+        cand_parts = []
+        for row, entries in eg_rows:
+            docs, tfs, dls, ws = decode(row)
+            if not len(docs):
+                continue
+            accumulate(row, entries, docs, tfs, dls, ws)
+            cand_parts.append(docs)
+        cand = (np.unique(np.concatenate(cand_parts))
+                if cand_parts else np.empty(0, np.int64))
+        for row, entries in other_rows:
+            if (len(cand) == 0
+                    or np.searchsorted(cand, row.first_doc)
+                    >= np.searchsorted(cand, row.last_doc, "right")):
+                n_skipped += 1   # no candidate in range: no decode
+                continue
+            docs, tfs, dls, ws = decode(row)
+            idx = np.searchsorted(cand, docs)
+            idx[idx == len(cand)] = 0
+            m = cand[idx] == docs
+            if not m.any():
+                n_skipped += 1
+                continue
+            accumulate(row, entries, docs[m], tfs[m], dls[m], ws[m])
+    else:
+        # single group: dynamic block-max pruning INSIDE the
+        # shard (the cursor-WAND analog for a batch kernel).
+        # Blocks decode in upper-bound-descending order while a
+        # running floor theta_dyn tracks the n_top-th largest
+        # PARTIAL doc score — partial sums are valid lower
+        # bounds of final scores (contributions are
+        # nonnegative), so a block whose bound + the OTHER
+        # terms' shard-local bounds can't reach theta_dyn can
+        # never place a doc in the top-n. Disabled under a
+        # phrase allowlist (skipped docs could still gain
+        # pscore, breaking the bound).
+        rows2 = []
+        for row in pdf.itertuples():
+            entries = cmap_l.get(int(row.term_id))
+            if not entries:
+                continue
+            i0 = row.idf0 if row.idf0 == row.idf0 else None
+            a0 = row.avgdl0 if row.avgdl0 == row.avgdl0 else None
+            scale = row.idf / max(i0 if i0 is not None
+                                  else row.idf, 1e-12)
+            ratio = row.avgdl / max(a0 if a0 is not None
+                                    else row.avgdl, 1e-12)
+            ub = (row.max_score * scale * max(ratio, 1.0)
+                  * max(b for _, b in entries))
+            rows2.append((ub, row, entries))
+        rows2.sort(key=lambda x: -x[0])
+        ubmax: dict[int, float] = {}
+        for ub, row, _e in rows2:
+            t = int(row.term_id)
+            ubmax[t] = max(ubmax.get(t, 0.0), ub)
+        total_ub = sum(ubmax.values())
+        run_docs = np.empty(0, np.int64)
+        run_sums = np.empty(0, np.float64)
+        theta_dyn = 0.0
+        for ub, row, entries in rows2:
+            rest = total_ub - ubmax[int(row.term_id)]
+            if not h_allow and ub + rest < theta_dyn:
+                n_skipped += 1
+                continue
+            docs, tfs, dls, ws = decode(row)
+            if not len(docs):
+                continue
+            accumulate(row, entries, docs, tfs, dls, ws)
+            contrib = acc_scores[-1] if len(entries) == 1 else \
+                np.sum(acc_scores[-len(entries):], axis=0)
+            md = np.concatenate([run_docs, docs])
+            msum = np.concatenate([run_sums, contrib])
+            run_docs, inv = np.unique(md, return_inverse=True)
+            run_sums = np.zeros(len(run_docs))
+            np.add.at(run_sums, inv, msum)
+            if len(run_sums) >= n_top:
+                theta_dyn = float(
+                    np.partition(run_sums, -n_top)[-n_top])
+
+    sentinel = pd.DataFrame(
+        {"doc_id": [-1], "score": [0.0], "n_hits": [0],
+         "n_skipped": [n_skipped]})
+    if not acc_docs:
+        return sentinel
+    # deterministic accumulation: concatenate in (term, salt,
+    # block, grp) order so float sums match across plans/runs
+    perm = sorted(range(len(order)), key=lambda i: order[i])
+    docs = np.concatenate([acc_docs[i] for i in perm])
+    grps = np.concatenate([acc_grps[i] for i in perm])
+    scores = np.concatenate([acc_scores[i] for i in perm])
+    key = docs * gm + grps
+    uk, inv = np.unique(key, return_inverse=True)
+    gsum = np.zeros(len(uk))
+    np.add.at(gsum, inv, scores)
+    udoc = uk // gm
+    ddocs, dinv = np.unique(udoc, return_inverse=True)
+    tot = np.zeros(len(ddocs))
+    np.add.at(tot, dinv, gsum)
+    gcnt = np.zeros(len(ddocs), np.int64)
+    np.add.at(gcnt, dinv, 1)
+    ok = gcnt == ngroups
+    ddocs, tot = ddocs[ok], tot[ok]
+    if h_allow and len(ddocs):
+        # every surviving doc is in the allowlist (decode masked
+        # to it) — add its precomputed phrase-group score
+        ai = np.searchsorted(allow_docs, ddocs)
+        tot = tot + allow_ps[ai]
+    sentinel.loc[0, "n_hits"] = int(len(ddocs))
+    if len(ddocs) > n_top:
+        part = np.lexsort((ddocs, -tot))[:n_top]
+        ddocs, tot = ddocs[part], tot[part]
+    return pd.concat([pd.DataFrame({
+        "doc_id": ddocs.astype(np.int64), "score": tot,
+        "n_hits": np.zeros(len(ddocs), np.int64),
+        "n_skipped": np.zeros(len(ddocs), np.int64),
+    }), sentinel], ignore_index=True)
+
+
+
 class Engine:
     """One Engine pins one index snapshot. ``cache=True`` arms the
     interactive-latency path: dictionary lookups memoize driver-side
@@ -703,126 +874,9 @@ class Engine:
              has_allow))
         out_schema = "doc_id long, score double, n_hits long, n_skipped long"
 
-        def core(pdf: pd.DataFrame, dead_l, allow_docs=None, allow_ps=None
-                 ) -> pd.DataFrame:
-            (cmap_l, ngroups, n_top, lo_l, span_l, ns, gm, eg_l,
-             h_allow) = bc.value
-            acc_docs, acc_grps, acc_scores, order = [], [], [], []
-            n_skipped = 0
-
-            def decode(row):
-                docs, tfs, dls, ws = blk.unpack_block(row)
-                mask = ((docs - lo_l) * ns // span_l) == row.shard
-                if dead_l is not None and len(dead_l):
-                    # liveDocs filter: drop tombstoned/banned docs
-                    idx = np.searchsorted(dead_l, docs)
-                    idx[idx == len(dead_l)] = 0
-                    mask &= dead_l[idx] != docs
-                if h_allow:
-                    # phrase-group allowlist: only docs matching every
-                    # MUST phrase can satisfy the full conjunction
-                    if allow_docs is None or not len(allow_docs):
-                        mask &= False
-                    else:
-                        idx = np.searchsorted(allow_docs, docs)
-                        idx[idx == len(allow_docs)] = 0
-                        mask &= allow_docs[idx] == docs
-                return docs[mask], tfs[mask], dls[mask], ws[mask]
-
-            def accumulate(row, entries, docs, tfs, dls, ws):
-                tf = tfs.astype(np.float64)
-                base = (ws / tf) * row.idf * tf * (BM25_K1 + 1.0) / (
-                    tf + BM25_K1 * (1.0 - BM25_B
-                                    + BM25_B * dls / row.avgdl))
-                for grp, boost in entries:
-                    acc_docs.append(docs)
-                    acc_grps.append(np.full(len(docs), grp, np.int64))
-                    acc_scores.append(boost * base)
-                    order.append((int(row.term_id), int(row.salt),
-                                  int(row.block_ord), grp))
-
-            if ngroups > 1:
-                # essential-group pruning: decode the cheapest group,
-                # then skip/mask every other block by its candidates
-                eg_rows, other_rows = [], []
-                for row in pdf.itertuples():
-                    entries = cmap_l.get(int(row.term_id))
-                    if not entries:
-                        continue
-                    if any(g == eg_l for g, _ in entries):
-                        eg_rows.append((row, entries))
-                    else:
-                        other_rows.append((row, entries))
-                cand_parts = []
-                for row, entries in eg_rows:
-                    docs, tfs, dls, ws = decode(row)
-                    if not len(docs):
-                        continue
-                    accumulate(row, entries, docs, tfs, dls, ws)
-                    cand_parts.append(docs)
-                cand = (np.unique(np.concatenate(cand_parts))
-                        if cand_parts else np.empty(0, np.int64))
-                for row, entries in other_rows:
-                    if (len(cand) == 0
-                            or np.searchsorted(cand, row.first_doc)
-                            >= np.searchsorted(cand, row.last_doc, "right")):
-                        n_skipped += 1   # no candidate in range: no decode
-                        continue
-                    docs, tfs, dls, ws = decode(row)
-                    idx = np.searchsorted(cand, docs)
-                    idx[idx == len(cand)] = 0
-                    m = cand[idx] == docs
-                    if not m.any():
-                        n_skipped += 1
-                        continue
-                    accumulate(row, entries, docs[m], tfs[m], dls[m], ws[m])
-            else:
-                for row in pdf.itertuples():
-                    entries = cmap_l.get(int(row.term_id))
-                    if not entries:
-                        continue
-                    docs, tfs, dls, ws = decode(row)
-                    if not len(docs):
-                        continue
-                    accumulate(row, entries, docs, tfs, dls, ws)
-
-            sentinel = pd.DataFrame(
-                {"doc_id": [-1], "score": [0.0], "n_hits": [0],
-                 "n_skipped": [n_skipped]})
-            if not acc_docs:
-                return sentinel
-            # deterministic accumulation: concatenate in (term, salt,
-            # block, grp) order so float sums match across plans/runs
-            perm = sorted(range(len(order)), key=lambda i: order[i])
-            docs = np.concatenate([acc_docs[i] for i in perm])
-            grps = np.concatenate([acc_grps[i] for i in perm])
-            scores = np.concatenate([acc_scores[i] for i in perm])
-            key = docs * gm + grps
-            uk, inv = np.unique(key, return_inverse=True)
-            gsum = np.zeros(len(uk))
-            np.add.at(gsum, inv, scores)
-            udoc = uk // gm
-            ddocs, dinv = np.unique(udoc, return_inverse=True)
-            tot = np.zeros(len(ddocs))
-            np.add.at(tot, dinv, gsum)
-            gcnt = np.zeros(len(ddocs), np.int64)
-            np.add.at(gcnt, dinv, 1)
-            ok = gcnt == ngroups
-            ddocs, tot = ddocs[ok], tot[ok]
-            if h_allow and len(ddocs):
-                # every surviving doc is in the allowlist (decode masked
-                # to it) — add its precomputed phrase-group score
-                ai = np.searchsorted(allow_docs, ddocs)
-                tot = tot + allow_ps[ai]
-            sentinel.loc[0, "n_hits"] = int(len(ddocs))
-            if len(ddocs) > n_top:
-                part = np.lexsort((ddocs, -tot))[:n_top]
-                ddocs, tot = ddocs[part], tot[part]
-            return pd.concat([pd.DataFrame({
-                "doc_id": ddocs.astype(np.int64), "score": tot,
-                "n_hits": np.zeros(len(ddocs), np.int64),
-                "n_skipped": np.zeros(len(ddocs), np.int64),
-            }), sentinel], ignore_index=True)
+        def core(pdf, dead_l, allow_docs=None, allow_ps=None):
+            return kernel_core(pdf, bc.value, dead_l, allow_docs,
+                               allow_ps)
 
         if tomb is not None or banned_df is not None or has_allow:
             # doc-level side inputs (tombstones, MUST_NOT docs, phrase
@@ -882,4 +936,11 @@ class Engine:
         self.last_blocks_stats = {
             "skipped_blocks": int(sent["n_skipped"].sum()),
             "theta": theta, "n_shards": int(n_shards)}
-        return hits, total, ("gte" if theta > 0.0 else "eq")
+        # totals are a lower bound whenever score-based pruning was
+        # active: the driver-side theta filter, or the in-kernel
+        # dynamic theta (single-group only — conjunction skips only
+        # drop provably non-matching docs, so those totals stay exact)
+        lossy = theta > 0.0 or (n_groups == 1
+                                and self.last_blocks_stats
+                                ["skipped_blocks"] > 0)
+        return hits, total, ("gte" if lossy else "eq")

@@ -1,0 +1,86 @@
+"""Unit tests for the block kernel (kernel_core) on synthetic packed
+blocks — in particular the DYNAMIC theta refinement: blocks decode in
+upper-bound order and later blocks are skipped once the running
+partial-sum floor proves they cannot reach the top-n."""
+
+import numpy as np
+import pandas as pd
+
+from mias_spark import blocks as blk
+from mias_spark.search import kernel_core
+from mias_spec.constants import BM25_B, BM25_K1
+
+
+def _mk_blocks(doc_tf: dict[int, int], tid=7, idf=2.0, avgdl=10.0, dl=10):
+    docs = np.array(sorted(doc_tf), dtype=np.int64)
+    n = len(docs)
+    g = pd.DataFrame({
+        "term_id": np.full(n, tid, np.int64),
+        "salt": np.zeros(n, np.int64),
+        "doc_id": docs,
+        "tf": np.array([doc_tf[d] for d in docs], np.int64),
+        "dl": np.full(n, dl, np.int64),
+        "wsum": np.array([float(doc_tf[d]) for d in docs]),  # avg_w = 1
+        "idf": np.full(n, idf),
+        "avgdl": np.full(n, avgdl),
+    })
+    out = blk._pack_frame(g)
+    out["shard"] = 0
+    out["idf"] = idf       # query-fresh stats == pack stats
+    out["avgdl"] = avgdl
+    return out
+
+
+def _bm25(tf, idf=2.0, avgdl=10.0, dl=10):
+    return idf * tf * (BM25_K1 + 1.0) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+
+
+def _params(n_top, ngroups=1, gm=2, span=10_000):
+    cmap = {7: [(0, 1.0)]}
+    return (cmap, ngroups, n_top, 0, span, 1, gm, -1, False)
+
+
+def test_dynamic_theta_skips_low_blocks():
+    """4 blocks of one term; the first (high-tf) block fills the top-3
+    floor, so the other three blocks are skipped WITHOUT decoding and
+    the result is still exact."""
+    doc_tf = {d: 20 for d in range(128)}
+    doc_tf.update({d: 1 for d in range(128, 512)})
+    pdf = _mk_blocks(doc_tf)
+    assert len(pdf) == 4
+    out = kernel_core(pdf, _params(n_top=3), None)
+    sent = out[out["doc_id"] < 0]
+    hits = out[out["doc_id"] >= 0]
+    assert int(sent["n_skipped"].iloc[0]) == 3
+    assert [int(d) for d in hits["doc_id"]] == [0, 1, 2]
+    assert np.allclose(hits["score"], _bm25(20))
+    # n_hits reflects only what was decoded (lower bound) — the engine
+    # reports the GTE relation whenever pruning was active
+
+
+def test_dynamic_theta_exactness_under_variation():
+    """Random tf profile: kernel output (top-10) must equal a
+    brute-force BM25 ranking regardless of which blocks got skipped."""
+    rng = np.random.default_rng(7)
+    doc_tf = {int(d): int(t) for d, t in enumerate(
+        rng.integers(1, 30, size=1000))}
+    pdf = _mk_blocks(doc_tf)
+    out = kernel_core(pdf, _params(n_top=10), None)
+    hits = out[out["doc_id"] >= 0]
+    exp = sorted(doc_tf, key=lambda d: (-_bm25(doc_tf[d]), d))[:10]
+    assert [int(d) for d in hits["doc_id"]] == exp
+    assert np.allclose(hits["score"],
+                       [_bm25(doc_tf[d]) for d in exp], atol=1e-12)
+
+
+def test_dead_mask_in_kernel():
+    """Tombstoned docs never surface, and the floor stays correct."""
+    doc_tf = {d: 20 for d in range(128)}
+    doc_tf.update({d: 1 for d in range(128, 300)})
+    pdf = _mk_blocks(doc_tf)
+    dead = np.arange(0, 128, dtype=np.int64)   # kill every high-tf doc
+    out = kernel_core(pdf, _params(n_top=3), dead)
+    hits = out[out["doc_id"] >= 0]
+    assert [int(d) for d in hits["doc_id"]] == [128, 129, 130]
+    assert np.allclose(hits["score"], _bm25(1))
