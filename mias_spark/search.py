@@ -94,9 +94,15 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
                           int(row.block_ord), grp))
 
     if ngroups > 1:
-        # essential-group pruning: decode the cheapest group,
-        # then skip/mask every other block by its candidates
-        eg_rows, other_rows = [], []
+        # essential-group pruning with PROGRESSIVE candidate
+        # refinement: decode the cheapest group first; every later
+        # group masks to the current candidates AND, once fully
+        # processed, intersects the candidate set down to the docs it
+        # actually matched — each group can only shrink what the next
+        # one must decode (sound: a doc absent from any group fails
+        # the conjunction; the final group-count check stays the
+        # authority)
+        eg_rows, other_by_grp = [], {}
         for row in pdf.itertuples():
             entries = cmap_l.get(int(row.term_id))
             if not entries:
@@ -104,7 +110,10 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
             if any(g == eg_l for g, _ in entries):
                 eg_rows.append((row, entries))
             else:
-                other_rows.append((row, entries))
+                # a term may sit in several groups; file it under its
+                # smallest group id (processing order key only)
+                other_by_grp.setdefault(
+                    min(g for g, _ in entries), []).append((row, entries))
         cand_parts = []
         for row, entries in eg_rows:
             docs, tfs, dls, ws = decode(row)
@@ -114,20 +123,49 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
             cand_parts.append(docs)
         cand = (np.unique(np.concatenate(cand_parts))
                 if cand_parts else np.empty(0, np.int64))
-        for row, entries in other_rows:
-            if (len(cand) == 0
-                    or np.searchsorted(cand, row.first_doc)
-                    >= np.searchsorted(cand, row.last_doc, "right")):
-                n_skipped += 1   # no candidate in range: no decode
-                continue
-            docs, tfs, dls, ws = decode(row)
-            idx = np.searchsorted(cand, docs)
-            idx[idx == len(cand)] = 0
-            m = cand[idx] == docs
-            if not m.any():
-                n_skipped += 1
-                continue
-            accumulate(row, entries, docs[m], tfs[m], dls[m], ws[m])
+        # refinement is sound for group g only if every term carrying
+        # g that has blocks IN THIS SHARD was filed under g (a term
+        # shared with the essential group or a smaller group
+        # contributes to g elsewhere, so g's local 'seen' would be
+        # incomplete; terms with no blocks here contribute nothing)
+        grp_terms: dict[int, set] = {}
+        for t, es in cmap_l.items():
+            for g, _ in es:
+                grp_terms.setdefault(g, set()).add(t)
+        filed_under: dict[int, object] = {}
+        for row, _e in eg_rows:
+            filed_under[int(row.term_id)] = "eg"
+        for g, rows_g in other_by_grp.items():
+            for row, _e in rows_g:
+                filed_under[int(row.term_id)] = g
+        # smaller groups first: they shrink the candidate set fastest
+        grp_order = sorted(
+            other_by_grp,
+            key=lambda g: (sum(int(r.n_docs) for r, _ in other_by_grp[g]),
+                           g))
+        for g in grp_order:
+            seen_parts = []
+            for row, entries in other_by_grp[g]:
+                if (len(cand) == 0
+                        or np.searchsorted(cand, row.first_doc)
+                        >= np.searchsorted(cand, row.last_doc, "right")):
+                    n_skipped += 1   # no candidate in range: no decode
+                    continue
+                docs, tfs, dls, ws = decode(row)
+                idx = np.searchsorted(cand, docs)
+                idx[idx == len(cand)] = 0
+                m = cand[idx] == docs
+                if not m.any():
+                    n_skipped += 1
+                    continue
+                accumulate(row, entries, docs[m], tfs[m], dls[m], ws[m])
+                seen_parts.append(docs[m])
+            # docs this group never matched can't pass the conjunction
+            if all(filed_under.get(t, g) == g
+                   for t in grp_terms.get(g, ())):
+                seen = (np.unique(np.concatenate(seen_parts))
+                        if seen_parts else np.empty(0, np.int64))
+                cand = seen if len(seen) < len(cand) else cand
     else:
         # single group: dynamic block-max pruning INSIDE the
         # shard (the cursor-WAND analog for a batch kernel).

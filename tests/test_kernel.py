@@ -84,3 +84,48 @@ def test_dead_mask_in_kernel():
     hits = out[out["doc_id"] >= 0]
     assert [int(d) for d in hits["doc_id"]] == [128, 129, 130]
     assert np.allclose(hits["score"], _bm25(1))
+
+
+def _mk_term_blocks(tid, doc_tf, idf=2.0, avgdl=10.0, dl=10):
+    docs = np.array(sorted(doc_tf), dtype=np.int64)
+    n = len(docs)
+    g = pd.DataFrame({
+        "term_id": np.full(n, tid, np.int64),
+        "salt": np.zeros(n, np.int64),
+        "doc_id": docs,
+        "tf": np.array([doc_tf[d] for d in docs], np.int64),
+        "dl": np.full(n, dl, np.int64),
+        "wsum": np.array([float(doc_tf[d]) for d in docs]),
+        "idf": np.full(n, idf),
+        "avgdl": np.full(n, avgdl),
+    })
+    out = blk._pack_frame(g)
+    out["shard"] = 0
+    out["idf"] = idf
+    out["avgdl"] = avgdl
+    return out
+
+
+def test_conjunction_progressive_refinement():
+    """3-group AND: the essential group leaves 2 candidates; the next
+    group narrows them to 1; the last (largest) group then decodes a
+    single block — everything else skips without decoding, and the
+    one surviving doc scores exactly."""
+    t1 = _mk_term_blocks(1, {100: 1, 700: 1})            # eg, group 0
+    t2 = _mk_term_blocks(3, {d: 1 for d in range(600, 1000)})  # group 2
+    t3 = _mk_term_blocks(2, {d: 1 for d in range(0, 1000)})    # group 1
+    pdf = pd.concat([t1, t2, t3], ignore_index=True)
+    cmap = {1: [(0, 1.0)], 2: [(1, 1.0)], 3: [(2, 1.0)]}
+    params = (cmap, 3, 5, 0, 10_000, 1, 4, 0, False)
+    out = kernel_core(pdf, params, None)
+    sent = out[out["doc_id"] < 0]
+    hits = out[out["doc_id"] >= 0]
+    assert [int(d) for d in hits["doc_id"]] == [700]
+    assert np.allclose(hits["score"], 3 * _bm25(1))
+    # group 2 (4 blocks): 1 decoded, 3 range-skipped; group 1
+    # (8 blocks): refinement leaves only doc 700 -> 1 decoded,
+    # 7 skipped (without refinement the block holding doc 100 would
+    # decode too)
+    assert int(sent["n_skipped"].iloc[0]) == 10
+    # conjunction skips drop only provably non-matching docs: exact
+    assert int(sent["n_hits"].sum()) == 1

@@ -332,3 +332,25 @@ def test_oracle_phrase_semantics():
     def dk(p):
         return hashlib.sha256(f"r|{p}|0".encode()).hexdigest()
     assert set(keys) == {dk("a.txt"), dk("b.txt")}
+
+
+def test_query_parser_fuzz_never_crashes():
+    """Property: compile_query accepts ANY string (queries come from
+    users) and its group-id invariants always hold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mias_spec.queries import compile_query
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        q = compile_query(s)
+        gids = {c.group for c in q.clauses} | \
+            {p.group for p in q.phrases if not p.must_not}
+        assert gids <= set(range(q.n_groups))
+        assert all(c.group == -1 for c in q.prohibited)
+        assert all(p.group == -1 for p in q.phrases if p.must_not)
+        assert all(len(p.terms) >= 2 for p in q.phrases)
+
+    check()
