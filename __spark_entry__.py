@@ -6,15 +6,18 @@ postings, packed blocks) and run a BM25 top-k search through the engine.
 
 ``queries()`` / ``oracle_sql()`` — the oracle-checked operator suite
 (mias_spark/pipelines/suite.py): IR core (tf/df/norms/BM25 top-k incl.
-conjunction), dedup family (exact / MinHash-LSH / SimHash / n-gram
-Jaccard), embedding similarity (brute-force cosine top-k + sign-LSH),
-text analysis (lang-id / quality / token stats / fingerprinting) and
+conjunction + phrase), dedup family (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding-cosine), ANN (brute-force cosine, 24-table
+sign-LSH bucketed, IVF-flat with sampled centroids), text analysis
+(lang-id / quality / token stats / fingerprinting), multimodal binary
+columns (metadata parse, Arrow feature extraction, frame sampling) and
 relational coverage (TPC-H q1/q3ish, windowed event rollups).
 
-Non-SQL-expressible entries (math M-term annotation over synthesized
-MathML corpus — custom Arrow UDF pipeline) have no oracle_sql and get
-the driver's rows-only check; their real gate is tests/ (rank identity
-vs the pandas oracle).
+Non-SQL-expressible entries (math M-term pipelines over the synthesized
+MathML corpus — custom Arrow UDF pipelines — and the Structured
+Streaming ingest) have no oracle_sql and get the driver's rows-only
+check; their real gate is tests/ (rank identity vs the pandas oracle,
+stream-vs-batch equivalence).
 """
 
 from __future__ import annotations

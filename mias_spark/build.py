@@ -69,6 +69,13 @@ def build_index(
         # join plan would eagerly run its AQE stages)
         keyed = ensure_udf_parallelism(keyed)
         docs, n = assign_ids_hex(keyed, "doc_key", "doc_id")
+        if n == 0:
+            # empty partitioned parquet tables can't be re-read (no
+            # footer to infer from); an index needs >= 1 doc — the
+            # streaming path bootstraps from its first batch instead
+            raise ValueError(
+                "build_index: corpus is empty; index an initial batch "
+                "(streaming.stream_upsert bootstraps automatically)")
         # meta computed inline in the same pass as the store write;
         # arXiv id override (HtmlDocument.java:31-36)
         store = with_meta(docs).withColumn(

@@ -31,13 +31,15 @@ CORPUS_SCHEMA = ("repo string, path string, commit string, lang string, "
 def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
                   checkpoint_dir: str | None = None,
                   trigger_available_now: bool = True,
-                  max_files_per_trigger: int | None = None):
+                  max_files_per_trigger: int | None = None,
+                  n_buckets: int = 16):
     """Ingest corpus parquet files appearing under ``source_dir`` into
     the index as micro-batch upserts. Returns the StreamingQuery
     (awaitTermination happens inside when draining with availableNow).
 
-    The index must already exist (build_index over an initial corpus,
-    possibly empty); each micro-batch is one MERGE delta.
+    If the index does not exist yet, the FIRST non-empty micro-batch
+    bootstraps it via build_index (``n_buckets`` applies then); every
+    later batch is one MERGE delta.
     """
     from mias_spark.ops import upsert
 
@@ -62,7 +64,12 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
             F.desc("commit"), F.desc("content"))
         batch = (batch.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1).drop("_rn"))
-        upsert(batch.sparkSession, index_dir, batch)
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+            from mias_spark.build import build_index
+            build_index(batch.sparkSession, batch, index_dir,
+                        n_buckets=n_buckets)
+        else:
+            upsert(batch.sparkSession, index_dir, batch)
 
     writer = src.writeStream.foreachBatch(apply_batch) \
         .option("checkpointLocation", checkpoint_dir)
