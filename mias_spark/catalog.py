@@ -149,10 +149,14 @@ class Catalog:
         spark.sql.sources.partitionOverwriteMode=dynamic for the
         parquet binding; Iceberg has native overwritePartitions()."""
         if self._iceberg_ns():
-            try:
-                df.writeTo(self._ident(table)).overwritePartitions()
-            except Exception:
+            # create only when the table genuinely doesn't exist — a
+            # blanket fallback to createOrReplace on ANY error (commit
+            # conflict, schema drift) would wipe previously committed
+            # partitions
+            if not self.spark.catalog.tableExists(self._ident(table)):
                 self.write(df, table, partition_by)
+            else:
+                df.writeTo(self._ident(table)).overwritePartitions()
             return
         (df.write.mode("overwrite").partitionBy(*partition_by)
          .parquet(self.path(table)))
@@ -161,10 +165,13 @@ class Catalog:
                partition_by: list[str] | None = None) -> None:
         """Append a delta segment (Iceberg append-snapshot analog)."""
         if self._iceberg_ns():
-            try:
-                df.writeTo(self._ident(table)).append()
-            except Exception:           # first segment: create the table
+            # first segment creates the table; real append errors
+            # (conflicts, schema mismatch) must propagate, never
+            # degrade into a table replace
+            if not self.spark.catalog.tableExists(self._ident(table)):
                 self.write(df, table, partition_by)
+            else:
+                df.writeTo(self._ident(table)).append()
             return
         w = df.write.mode("append")
         if partition_by:

@@ -306,7 +306,13 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     new_toks = tokenize_docs(delta_store.select("doc_id", "content", "lang"))
     cat.write(new_toks, "_staging_delta_toks")
     delta_toks = cat.read("_staging_delta_toks")
-    cat.append(delta_toks.withColumn("tseg", _tseg()), "tokens", ["tseg"])
+    if "tseg" in cat.read("tokens").columns:
+        cat.append(delta_toks.withColumn("tseg", _tseg()), "tokens",
+                   ["tseg"])
+    else:
+        # pre-tseg index: appending partition dirs beside flat files
+        # would break partition discovery — stay unpartitioned
+        cat.append(delta_toks, "tokens")
     cat.commit_table("tokens")
 
     # ---- incremental narrow-stats maintenance (delta-only work)

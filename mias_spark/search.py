@@ -198,8 +198,14 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
             t = int(row.term_id)
             ubmax[t] = max(ubmax.get(t, 0.0), ub)
         total_ub = sum(ubmax.values())
+        # the running floor's accumulator is BOUNDED: after each merge
+        # only the top 4*n_top partial sums are kept (a truncated doc's
+        # history underestimates its partial sum, which only LOWERS
+        # theta — still a sound floor) — per-block cost stays
+        # O((n_top + block) log), never quadratic in blocks-per-shard
         run_docs = np.empty(0, np.int64)
         run_sums = np.empty(0, np.float64)
+        cap = 4 * n_top
         theta_dyn = 0.0
         for ub, row, entries in rows2:
             rest = total_ub - ubmax[int(row.term_id)]
@@ -212,14 +218,16 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
             accumulate(row, entries, docs, tfs, dls, ws)
             contrib = acc_scores[-1] if len(entries) == 1 else \
                 np.sum(acc_scores[-len(entries):], axis=0)
-            md = np.concatenate([run_docs, docs])
-            msum = np.concatenate([run_sums, contrib])
-            run_docs, inv = np.unique(md, return_inverse=True)
-            run_sums = np.zeros(len(run_docs))
-            np.add.at(run_sums, inv, msum)
-            if len(run_sums) >= n_top:
-                theta_dyn = float(
-                    np.partition(run_sums, -n_top)[-n_top])
+            md, inv = np.unique(np.concatenate([run_docs, docs]),
+                                return_inverse=True)
+            msum = np.zeros(len(md))
+            np.add.at(msum, inv, np.concatenate([run_sums, contrib]))
+            if len(msum) >= n_top:
+                theta_dyn = float(np.partition(msum, -n_top)[-n_top])
+            if len(msum) > cap:
+                keep = np.argpartition(msum, -cap)[-cap:]
+                md, msum = md[keep], msum[keep]
+            run_docs, run_sums = md, msum
 
     sentinel = pd.DataFrame(
         {"doc_id": [-1], "score": [0.0], "n_hits": [0],
@@ -443,9 +451,11 @@ class Engine:
                 # propagate instead of masquerading as timeouts
                 if not fired.is_set():
                     raise
+                # 0 is only a LOWER bound on the true hit count
+                # (Lucene's partial-result relation under timeout)
                 return SearchResult(
                     pd.DataFrame(columns=["rank", "doc_id", "score"]),
-                    0, 0, "(timed out)")
+                    0, 0, "(timed out)", 0, "gte")
             finally:
                 timer.cancel()
                 sc.setJobGroup("", "")
@@ -491,7 +501,7 @@ class Engine:
             # re-scan the bucket-pruned postings slice; no persist —
             # a materialization barrier costs more than the second
             # pass over an already-pruned (and often cached) scan.
-            import threading
+            from pyspark import InheritableThread
             side: dict = {}
 
             def _count():
@@ -500,11 +510,16 @@ class Engine:
                 except Exception as e:       # surfaced after join
                     side["err"] = e
 
-            t = threading.Thread(target=_count)
+            # InheritableThread, not threading.Thread: pinned-thread
+            # mode makes job groups thread-local, and the Q9 timeout's
+            # cancelJobGroup must reach this job too
+            t = InheritableThread(target=_count)
             t.start()
-            pdf = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
-                   .limit(offset + k).toPandas())
-            t.join()
+            try:
+                pdf = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
+                       .limit(offset + k).toPandas())
+            finally:
+                t.join()                     # never orphan the count job
             if "err" in side:
                 raise side["err"]
             total_hits, rel = int(side["n"]), "eq"

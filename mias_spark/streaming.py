@@ -53,15 +53,17 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
     src = reader.load(source_dir)
 
     def apply_batch(batch, batch_id: int) -> None:
-        # dedupe within the batch (a batch may carry several commits of
-        # one path; MERGE semantics reject duplicate keys) — keep the
-        # lexically-greatest commit per (repo, path), deterministic
+        # dedupe within the batch on the FULL MERGE key (repo, path,
+        # commit) — distinct commits of one path are distinct docs,
+        # exactly as in batch build_index/upsert, so the final index
+        # never depends on micro-batch boundaries; only true key
+        # duplicates (same commit twice) collapse, deterministically
         from pyspark.sql import Window
         from pyspark.sql import functions as F
         if not batch.take(1):
             return
-        w = Window.partitionBy("repo", "path").orderBy(
-            F.desc("commit"), F.desc("content"))
+        w = Window.partitionBy("repo", "path", "commit").orderBy(
+            F.desc("content"))
         batch = (batch.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1).drop("_rn"))
         if not os.path.exists(os.path.join(index_dir, "manifest.json")):

@@ -72,9 +72,10 @@ def separate(query_text: str) -> tuple[str, list[str]]:
     return text, maths
 
 
-#: query-syntax token: optional +/- sign, then "quoted" or bare chunk
-_QTOK_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
-_FIELD_PREFIX_RE = re.compile(r"^(content|title):(.*)$", re.DOTALL)
+#: query-syntax token: optional +/- sign, optional content:/title:
+#: field scope, then "quoted" or bare chunk — the field scope applies
+#: to phrases too (title:"a b")
+_QTOK_RE = re.compile(r'([+-]?)(?:(content|title):)?(?:"([^"]*)"|(\S+))')
 _TEXT_FIELDS = (FIELD_CONTENT, FIELD_TITLE)
 
 
@@ -82,15 +83,13 @@ def _parse_text_part(q: CompiledQuery, text: str, g: int) -> int:
     """MultiFieldQueryParser-style surface over (content, title):
     bare terms = MUST groups, ``"quoted phrases"`` = MUST phrase
     groups, ``-term``/``-"phrase"`` = MUST_NOT, ``+term`` = MUST
-    (the default), ``content:term``/``title:term`` = single-field.
-    Returns the next group id."""
+    (the default), ``content:``/``title:`` prefixes scope a term OR a
+    quoted phrase to one field. Returns the next group id."""
     for m in _QTOK_RE.finditer(text):
-        sign, quoted, bare = m.group(1), m.group(2), m.group(3)
+        sign, fpre, quoted, bare = (m.group(1), m.group(2),
+                                    m.group(3), m.group(4))
         chunk = quoted if quoted is not None else bare
-        fields = _TEXT_FIELDS
-        fm = _FIELD_PREFIX_RE.match(chunk) if quoted is None else None
-        if fm:
-            fields, chunk = (fm.group(1),), fm.group(2)
+        fields = (fpre,) if fpre else _TEXT_FIELDS
         terms = tokenize(chunk)
         if not terms:
             continue

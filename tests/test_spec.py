@@ -354,3 +354,17 @@ def test_query_parser_fuzz_never_crashes():
         assert all(len(p.terms) >= 2 for p in q.phrases)
 
     check()
+
+
+def test_field_scoped_phrase_parse():
+    """title:"a b" must parse as a single-field PHRASE (review fix),
+    not a fielded term plus a stray bare term."""
+    from mias_spec.queries import compile_query
+    q = compile_query('title:"items total" -content:"return total"')
+    must = [p for p in q.phrases if not p.must_not]
+    assert [(p.fld, p.terms) for p in must] == \
+        [("title", ("items", "total"))]
+    notp = [p for p in q.phrases if p.must_not]
+    assert [(p.fld, p.terms) for p in notp] == \
+        [("content", ("return", "total"))]
+    assert not q.clauses and q.n_groups == 1
