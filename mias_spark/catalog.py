@@ -117,9 +117,11 @@ class Catalog:
         no-op-shaped agg over unique keys; incremental readers (query
         compile) aggregate only the dbucket partitions they pruned to."""
         from pyspark.sql import functions as F
-        return (self.read("dictionary")
-                .groupBy("field", "term", "term_id", "dbucket")
-                .agg(F.sum("df").alias("df")))
+        dic = self.read("dictionary")
+        keys = ["field", "term", "term_id"]
+        if "dbucket" in dic.columns:      # pre-dbucket index: no part col
+            keys.append("dbucket")
+        return dic.groupBy(*keys).agg(F.sum("df").alias("df"))
 
     def overwrite(self, df: DataFrame, table: str,
                   partition_by: list[str] | None = None) -> None:

@@ -43,9 +43,21 @@ from mias_spark.tokenize import tokenize_docs, with_meta
 # ---------------------------------------------------------------- live views
 
 def live_tokens(cat: Catalog) -> DataFrame:
-    toks = cat.read("tokens")
+    # mergeSchema: pre-dl base segments + post-dl deltas must coexist
+    # (the coalesce(max(dl), sum(tf)) fallbacks depend on seeing dl
+    # as a nullable column, not on which footer Spark sampled)
+    toks = cat.read("tokens", merge_schema=True)
     tomb = cat.tombstones()
     return toks if tomb is None else toks.join(tomb, "doc_id", "leftanti")
+
+
+def live_norms(cat: Catalog) -> DataFrame:
+    """doc_norms minus tombstoned docs — doc_norms itself is
+    append-only between compactions, so dead docs' rows persist in the
+    table until `optimize` rewrites it; ALWAYS read through this."""
+    norms = cat.read("doc_norms")
+    tomb = cat.tombstones()
+    return norms if tomb is None else norms.join(tomb, "doc_id", "leftanti")
 
 
 def live_store(cat: Catalog) -> DataFrame:
@@ -113,10 +125,18 @@ def _dead_partials(spark: SparkSession, cat: Catalog, doomed: DataFrame
                               .alias("s")).distinct().collect()]
         toks = toks.where(F.col("tseg").isin(segs))
     dead = toks.join(doomed.select("doc_id"), "doc_id", "leftsemi")
-    ddf = dead.groupBy("field", "term").agg((-F.count("*")).alias("df"))
+    cols = ["doc_id", "field", "term", "tf"] \
+        + (["dl"] if "dl" in toks.columns else [])
+    # stage the dead rows ONCE: several downstream actions (dictionary
+    # delta appends, new-term detection, norm stats) would otherwise
+    # each re-run the pruned token scan
+    cat.write(dead.select(*cols), "_staging_dead_toks")
+    staged = cat.read("_staging_dead_toks")
+    ddf = staged.groupBy("field", "term").agg((-F.count("*")).alias("df"))
     # dl fallback for pre-dl token segments (ADVICE r1): sum(tf) == dl
-    dnorm = dead.groupBy("doc_id", "field").agg(
-        F.coalesce(F.max("dl"), F.sum("tf")).alias("dl"))
+    dl_expr = (F.coalesce(F.max("dl"), F.sum("tf"))
+               if "dl" in cols else F.sum("tf"))
+    dnorm = staged.groupBy("doc_id", "field").agg(dl_expr.alias("dl"))
     return ddf, _norm_stats(dnorm)
 
 
@@ -127,16 +147,22 @@ def _append_dictionary_delta(spark: SparkSession, cat: Catalog,
     dbucket partitions; brand-new terms get fresh dense ids from the
     next_term_id high-water mark (no full-dictionary max() scan)."""
     from mias_spark.build import _dbucket
-    ddf = ddf.withColumn("dbucket", _dbucket())
-    bks = [int(r[0]) for r in ddf.select("dbucket").distinct().collect()]
-    merged = (cat.read("dictionary")
-              .where(F.col("dbucket").isin(bks))
-              .groupBy("field", "term").agg(F.first("term_id")
-                                            .alias("term_id")))
+    base = cat.read("dictionary")
+    # pre-dbucket index: appending partition dirs beside flat files
+    # breaks discovery — stay flat and skip the bucket pruning
+    bucketed = "dbucket" in base.columns
+    part_by = ["dbucket"] if bucketed else None
+    cols = ["field", "term", "df", "term_id"] + (part_by or [])
+    if bucketed:
+        ddf = ddf.withColumn("dbucket", _dbucket())
+        bks = [int(r[0]) for r in
+               ddf.select("dbucket").distinct().collect()]
+        base = base.where(F.col("dbucket").isin(bks))
+    merged = (base.groupBy("field", "term")
+              .agg(F.first("term_id").alias("term_id")))
     joined = ddf.join(merged, ["field", "term"], "left")
     known = joined.where(F.col("term_id").isNotNull())
-    cat.append(known.select("field", "term", "df", "term_id", "dbucket"),
-               "dictionary", ["dbucket"])
+    cat.append(known.select(*cols), "dictionary", part_by)
     new_terms = joined.where(F.col("term_id").isNull()).drop("term_id")
     if new_terms.limit(1).count():
         next_id = cat.props().get("next_term_id")
@@ -146,8 +172,7 @@ def _append_dictionary_delta(spark: SparkSession, cat: Catalog,
         new_ids, n_new = assign_ids_hashed(new_terms, ["field", "term"],
                                            "term_id")
         new_ids = new_ids.withColumn("term_id", F.col("term_id") + next_id)
-        cat.append(new_ids.select("field", "term", "df", "term_id",
-                                  "dbucket"), "dictionary", ["dbucket"])
+        cat.append(new_ids.select(*cols), "dictionary", part_by)
         cat.set_props(next_term_id=int(next_id) + int(n_new))
     cat.set_props(dict_segments=int(cat.props().get("dict_segments", 0)) + 1)
     cat.commit_table("dictionary")

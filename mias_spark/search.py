@@ -50,6 +50,11 @@ class SearchResult:
     # GREATER_THAN_OR_EQUAL_TO relation under early termination).
     total_hits: int = 0
     total_hits_relation: str = "eq"   # "eq" | "gte"
+    #: blocks-mode pruning stats for THIS query (skipped_blocks, theta,
+    #: n_shards); None for df-mode. Engine.last_blocks_stats mirrors
+    #: the most recent completed blocks search and is NOT synchronized
+    #: across concurrently-searching threads — prefer this field.
+    blocks_stats: dict | None = None
 
 
 def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
@@ -90,8 +95,12 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
             acc_docs.append(docs)
             acc_grps.append(np.full(len(docs), grp, np.int64))
             acc_scores.append(boost * base)
+            # first_doc disambiguates (term, salt, block_ord) ties
+            # across base/delta segments (block_ord restarts per
+            # segment; segment doc ranges are disjoint) — the sort
+            # key must be UNIQUE for fully deterministic accumulation
             order.append((int(row.term_id), int(row.salt),
-                          int(row.block_ord), grp))
+                          int(row.block_ord), int(row.first_doc), grp))
 
     if ngroups > 1:
         # essential-group pruning with PROGRESSIVE candidate
@@ -291,6 +300,10 @@ class Engine:
         self._term_cache: dict[tuple[str, str], tuple | None] = {}
         #: term_id -> raw per-block (max_score, idf0, avgdl0) + extents
         self._block_meta: dict[int, tuple] = {}
+        #: pruning stats of the most recent completed blocks search
+        #: (see SearchResult.blocks_stats for the per-query value)
+        self.last_blocks_stats: dict = {
+            "skipped_blocks": 0, "theta": 0.0, "n_shards": 0}
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache:
@@ -494,6 +507,13 @@ class Engine:
             )
             if banned is not None:
                 agg = agg.join(banned, "doc_id", "leftanti")
+            # tombstones must also gate PHRASE matches: term scores are
+            # filtered inside _score_dataframe, but phrase frames read
+            # postings raw (delete is metadata-only — dead rows remain),
+            # so a phrase-only query would resurrect deleted docs here
+            tomb = self.cat.tombstones()
+            if tomb is not None:
+                agg = agg.join(F.broadcast(tomb), "doc_id", "leftanti")
             # Q10 total hits: the count() branch runs CONCURRENTLY with
             # the top-k collect (two independent small jobs; wall time
             # is max, not sum — Lucene gets this for free inside one
@@ -523,9 +543,11 @@ class Engine:
             if "err" in side:
                 raise side["err"]
             total_hits, rel = int(side["n"]), "eq"
+            bstats = None
         else:
             pdf, total_hits, rel = self._topk_blocks(
                 clauses, k + offset, n_groups - n_pg, n_pg, must_df, banned)
+            bstats = self.last_blocks_stats
         hits = pdf.iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
         if (with_fields or snippets) and len(hits):
@@ -554,7 +576,7 @@ class Engine:
         if debug and len(hits):
             hits["explain"] = self._explain(clauses, hits, n_groups, pplan)
         return SearchResult(hits, n_groups, len(clauses), processed,
-                            total_hits, rel)
+                            total_hits, rel, bstats)
 
     # -------------------------------------------------------------- explain
     def _explain(self, clauses: pd.DataFrame, hits: pd.DataFrame,
@@ -768,6 +790,8 @@ class Engine:
         doc may fail a multi-group conjunction, so its score is not a
         valid floor there (conjunctions prune via step 4 instead).
         """
+        self.last_blocks_stats = {"skipped_blocks": 0, "theta": 0.0,
+                                  "n_shards": 0}
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         terms = [int(t) for t in set(clauses["term_id"])]
