@@ -89,6 +89,8 @@ class Catalog:
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
         if self._iceberg_ns():
+            if mode == "append":     # honor the documented signature
+                return self.append(df, table, partition_by)
             w = df.writeTo(self._ident(table))
             if partition_by:
                 from pyspark.sql import functions as F
@@ -140,7 +142,13 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        shutil.rmtree(self.path(table), ignore_errors=True)
+        # rmtree must NOT be ignore_errors: a half-removed table dir
+        # would make the move NEST the staged data inside it, silently
+        # serving stale rows afterward. (The rmtree->move pair is not
+        # crash-atomic — a local-fs caveat; the Iceberg binding is the
+        # real answer for object stores.)
+        if os.path.exists(self.path(table)):
+            shutil.rmtree(self.path(table))
         shutil.move(tmp, self.path(table))
 
     def overwrite_partitions(self, df: DataFrame, table: str,

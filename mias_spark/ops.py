@@ -310,6 +310,11 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     replaced = cat.read("_staging_replaced")
     n_replaced = replaced.count()
     next_doc = (store.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+    # id assignment FIRST: its duplicate-key MERGE validation must fire
+    # before the first index mutation (tombstones), so a rejected batch
+    # leaves the index untouched
+    new_docs, _n = assign_ids_hex(keyed, "doc_key", "doc_id")
+    new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + next_doc)
     dead_ddf, minus = None, {}
     if n_replaced:
         # pure-append upserts must NOT materialize an empty tombstones
@@ -317,9 +322,6 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
         # and disables the block-max pruning floor
         cat.add_tombstones(replaced)
         dead_ddf, minus = _dead_partials(spark, cat, replaced)
-
-    new_docs, _n = assign_ids_hex(keyed, "doc_key", "doc_id")
-    new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + next_doc)
     new_store = with_meta(new_docs).withColumn(
         "id", F.coalesce("arxiv_id", "doc_key"))
     # stage the delta once; everything below appends from this segment

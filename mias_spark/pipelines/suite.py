@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mias_spec.analyzer import stopword_sql_list
+from mias_spec.constants import STOPWORDS
 
 STOP_SQL = stopword_sql_list()
 TOKEN_SPLIT = "[^a-z0-9_]+"
@@ -42,7 +43,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(
             F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
         .where((F.col("term") != "") & ~F.col("term").isin(
-            *sorted(s.strip("'") for s in STOP_SQL.split(", "))))
+            *sorted(STOPWORDS)))
     )
 
 
@@ -197,7 +198,7 @@ def ir_phrase(spark, sf_dir):
     sum of the constituent idfs (Lucene PhraseQuery convention)."""
     import math
     t1, t2 = "table", "part"
-    stop = sorted(s.strip("'") for s in STOP_SQL.split(", "))
+    stop = sorted(STOPWORDS)
     raw = (_docs(spark, sf_dir)
            .select("doc_id", F.posexplode(
                F.split(F.lower("text"), TOKEN_SPLIT)).alias("p", "term"))
@@ -783,7 +784,7 @@ def text_quality(spark, sf_dir):
     toks = (_docs(spark, sf_dir).select("doc_id", F.explode(
         F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
         .where(F.col("term") != ""))
-    stop = sorted(s.strip("'") for s in STOP_SQL.split(", "))
+    stop = sorted(STOPWORDS)
     return (toks.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),

@@ -66,8 +66,14 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
             F.desc("content"))
         batch = (batch.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1).drop("_rn"))
-        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-            from mias_spark.build import build_index
+        # route on build COMPLETENESS, not manifest existence: a crash
+        # mid-bootstrap leaves a partial manifest, and build_index is
+        # resumable — the checkpointed replay of the same batch then
+        # finishes the build instead of wedging every retry in upsert()
+        from mias_spark.build import build_index
+        from mias_spark.catalog import Catalog
+        cat = Catalog(batch.sparkSession, index_dir)
+        if not cat.table_done("blocks"):
             build_index(batch.sparkSession, batch, index_dir,
                         n_buckets=n_buckets)
         else:

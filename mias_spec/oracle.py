@@ -80,7 +80,8 @@ def search(
     return execute(index, q, k, offset)
 
 
-def _phrase_hits(index: OracleIndex, ph) -> dict[int, float]:
+def _phrase_hits(index: OracleIndex, ph,
+                 dfmap: dict | None = None) -> dict[int, float]:
     """doc_id -> phrase score for one PhraseClause (spec: tf = number
     of adjacent runs, idf = sum of constituent idfs, payload = the
     field weight carried on the posting rows)."""
@@ -88,8 +89,9 @@ def _phrase_hits(index: OracleIndex, ph) -> dict[int, float]:
     from mias_spec.scoring import idf as idf_fn
 
     post = index.postings
-    dfmap = {(r.field, r.term): int(r.df)
-             for r in index.dictionary.itertuples()}
+    if dfmap is None:
+        dfmap = {(r.field, r.term): int(r.df)
+                 for r in index.dictionary.itertuples()}
     if any((ph.fld, t) not in dfmap for t in ph.terms):
         return {}
     st = index.field_stats[ph.fld]
@@ -145,7 +147,7 @@ def execute(index: OracleIndex, q: CompiledQuery, k: int, offset: int) -> pd.Dat
     for ph in sorted(q.phrases, key=lambda p: (p.fld, p.terms, p.group)):
         if ph.must_not:
             continue
-        for d, s in _phrase_hits(index, ph).items():
+        for d, s in _phrase_hits(index, ph, dfmap).items():
             scores[d] = scores.get(d, 0.0) + s
             groups.setdefault(d, set()).add(ph.group)
     # MUST_NOT: prohibited terms and phrases
@@ -158,7 +160,7 @@ def execute(index: OracleIndex, q: CompiledQuery, k: int, offset: int) -> pd.Dat
             pass
     for ph in q.phrases:
         if ph.must_not:
-            banned.update(_phrase_hits(index, ph))
+            banned.update(_phrase_hits(index, ph, dfmap))
     hits = [(d, s) for d, s in scores.items()
             if len(groups[d]) == q.n_groups and d not in banned]
     hits.sort(key=lambda t: (-t[1], t[0]))

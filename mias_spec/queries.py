@@ -61,9 +61,6 @@ class CompiledQuery:
     text_part: str = ""
     math_parts: list[str] = field(default_factory=list)
 
-    def must_phrase_groups(self) -> list[int]:
-        return sorted({p.group for p in self.phrases if not p.must_not})
-
 
 def separate(query_text: str) -> tuple[str, list[str]]:
     """MathSeparator.separate analog (Searching.java:234-237)."""

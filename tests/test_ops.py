@@ -316,3 +316,23 @@ def test_dictionary_fold_policy(spark, tmp_path, monkeypatch):
     assert blocks_before <= _file_set(eng.cat.path("blocks"))
     expected = pd.concat([c, b1, b2], ignore_index=True)
     _check_query(spark, ix, expected)
+
+
+def test_duplicate_upsert_batch_rejected_before_mutation(spark, tmp_path):
+    """MERGE validation must fire BEFORE the first index mutation: a
+    rejected duplicate batch leaves no tombstones and no appended
+    segments behind."""
+    import pandas as pd
+    c = corpus.make_corpus(30)
+    ix = str(tmp_path / "ixdupup")
+    cat = build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    n_store = cat.read("doc_store").count()
+    dup = pd.concat([c.iloc[[0]], c.iloc[[0]]], ignore_index=True)
+    with pytest.raises(Exception, match="duplicate key"):
+        upsert(spark, ix, spark.createDataFrame(dup))
+    from mias_spark.search import Engine
+    eng = Engine(spark, ix)
+    assert eng.cat.tombstones() is None          # nothing tombstoned
+    assert eng.cat.read("doc_store").count() == n_store
+    # the replaced doc is still searchable
+    _check_query(spark, ix, c)
