@@ -565,8 +565,13 @@ class Engine:
                 # docs only (the reference's snippet thread pool analog,
                 # Searching.java:314-399)
                 from mias_spec.snippets import make_snippet
-                text_terms = sorted({c.term for c in q.clauses
-                                     if c.fld in ("content", "title")})
+                # phrase constituents highlight too (they live in
+                # q.phrases, not q.clauses)
+                text_terms = sorted(
+                    {c.term for c in q.clauses
+                     if c.fld in ("content", "title")}
+                    | {t for p in q.phrases if not p.must_not
+                       for t in p.terms})
                 mterms = {c.term for c in q.clauses
                           if c.fld in ("pmath", "cmath")}
                 hits["snippet"] = [

@@ -336,3 +336,15 @@ def test_duplicate_upsert_batch_rejected_before_mutation(spark, tmp_path):
     assert eng.cat.read("doc_store").count() == n_store
     # the replaced doc is still searchable
     _check_query(spark, ix, c)
+
+
+def test_phrase_snippets_highlight(spark, tiny_build):
+    """Phrase-query snippets highlight the phrase's constituent terms
+    (they come from q.phrases, not q.clauses)."""
+    from mias_spark.search import Engine
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    res = eng.search('"items total"', k=3, snippets=True)
+    assert len(res.hits) > 0
+    assert any("<b>items</b>" in s and "<b>total</b>" in s
+               for s in res.hits["snippet"])
