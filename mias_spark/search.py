@@ -298,8 +298,11 @@ class Engine:
         self._cache = cache
         self._tables: dict[str, DataFrame] = {}
         self._term_cache: dict[tuple[str, str], tuple | None] = {}
-        #: term_id -> raw per-block (max_score, idf0, avgdl0) + extents
-        self._block_meta: dict[int, tuple] = {}
+        #: (term_id, topn|None) -> reduced pruning metadata (ubm, nb,
+        #: npost, blo, bhi, lbn) — O(1) per entry, never per-block
+        self._block_meta: dict[tuple, tuple] = {}
+        #: metadata rows the last _topk_blocks pulled to the driver
+        self.last_meta_rows: int = 0
         #: pruning stats of the most recent completed blocks search
         #: (see SearchResult.blocks_stats for the per-query value)
         self.last_blocks_stats: dict = {
@@ -457,12 +460,17 @@ class Engine:
                 return self._search_body(
                     query_text, k, offset, variant, extract_subformulae,
                     reduce_weighting, mode, with_fields, snippets, debug)
-            except Exception:
+            except Exception as e:
                 # only the DEADLINE maps to the partial-result sentinel
                 # (Searching.java returns what the collector gathered);
                 # real errors (analysis, missing table, kernel bug)
-                # propagate instead of masquerading as timeouts
-                if not fired.is_set():
+                # propagate instead of masquerading as timeouts. The
+                # fired flag alone races (a genuine failure raising just
+                # as the timer fires would be swallowed), so the
+                # exception must ALSO look like a Spark job cancellation
+                msg = str(e).lower()
+                cancelled = "cancel" in msg or "interrupt" in msg
+                if not (fired.is_set() and cancelled):
                     raise
                 # 0 is only a LOWER bound on the true hit count
                 # (Lucene's partial-result relation under timeout)
@@ -513,36 +521,24 @@ class Engine:
             # so a phrase-only query would resurrect deleted docs here
             tomb = self.cat.tombstones()
             if tomb is not None:
-                agg = agg.join(F.broadcast(tomb), "doc_id", "leftanti")
-            # Q10 total hits: the count() branch runs CONCURRENTLY with
-            # the top-k collect (two independent small jobs; wall time
-            # is max, not sum — Lucene gets this for free inside one
-            # collector pass, we get it from the scheduler). Both jobs
-            # re-scan the bucket-pruned postings slice; no persist —
-            # a materialization barrier costs more than the second
-            # pass over an already-pruned (and often cached) scan.
-            from pyspark import InheritableThread
-            side: dict = {}
-
-            def _count():
-                try:
-                    side["n"] = agg.count()
-                except Exception as e:       # surfaced after join
-                    side["err"] = e
-
-            # InheritableThread, not threading.Thread: pinned-thread
-            # mode makes job groups thread-local, and the Q9 timeout's
-            # cancelJobGroup must reach this job too
-            t = InheritableThread(target=_count)
-            t.start()
-            try:
-                pdf = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
-                       .limit(offset + k).toPandas())
-            finally:
-                t.join()                     # never orphan the count job
-            if "err" in side:
-                raise side["err"]
-            total_hits, rel = int(side["n"]), "eq"
+                # no broadcast hint: at 10^10 tombstones a forced
+                # broadcast OOMs the driver — AQE picks the strategy
+                # (blocks mode co-groups them for the same reason)
+                agg = agg.join(tomb, "doc_id", "leftanti")
+            # Q10 total hits in the SAME job as the top-k: an
+            # Observation (CollectMetrics node) counts the rows flowing
+            # out of the conjunction filter while TakeOrderedAndProject
+            # consumes them — exact count, zero extra jobs or scans.
+            # (Round 2 ran a concurrent count() job instead; the two
+            # jobs raced for the same cores and nearly doubled latency.
+            # Lucene gets the total for free inside one collector pass
+            # — this is the Spark analog.)
+            from pyspark.sql import Observation
+            obs = Observation()
+            observed = agg.observe(obs, F.count(F.lit(1)).alias("n"))
+            pdf = (observed.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(offset + k).toPandas())
+            total_hits, rel = int(obs.get["n"]), "eq"
             bstats = None
         else:
             pdf, total_hits, rel = self._topk_blocks(
@@ -719,7 +715,8 @@ class Engine:
         )
         tomb = self.cat.tombstones()
         if tomb is not None:
-            posts = posts.join(F.broadcast(tomb), "doc_id", "leftanti")
+            # no broadcast hint (AQE decides): see _search_body
+            posts = posts.join(tomb, "doc_id", "leftanti")
         j = posts.join(F.broadcast(cdf.drop("bucket")), "term_id")
         tfd = F.col("tf").cast("double")
         score = (
@@ -810,60 +807,30 @@ class Engine:
                 (int(r.grp), float(r.boost)))
         max_boost = {t: max(b for _, b in es) for t, es in cmap.items()}
 
-        # ---- driver metadata: per-term raw block stats -> adjusted
-        # pruning bounds. With cache=True the RAW stats (max_score,
-        # idf0, avgdl0 per block + extents) memoize per term, so a
-        # repeat term costs ZERO Spark jobs here and only the adjusted
-        # bounds (query-fresh idf/avgdl) recompute in numpy. Without
-        # the cache it is ONE tiny agg job (<= n_terms rows back). The
-        # per-term stats are df/BLOCK_SIZE values; if a term's block
-        # count itself becomes driver-hostile (df >> 10^9), swap the
-        # collect for a bounded two-level top-n merge.
-        fresh = {int(r.term_id): (float(r.idf), float(r.avgdl))
-                 for r in clauses.drop_duplicates("term_id").itertuples()}
+        # ---- driver metadata: ONE bounded row per term, never O(df).
+        # The rescaled (query-fresh idf/avgdl) bounds are computed as
+        # Catalyst expressions and reduced Spark-side: a window rank
+        # picks the topn-th largest block LOWER bound (the only order
+        # statistic theta ever uses) and a hash agg folds the max upper
+        # bound + extents — so the driver receives O(1) per term even
+        # for a term with df ~ n_docs (round-2's collect_list shipped
+        # df/BLOCK_SIZE structs through the driver; at 10^10 docs that
+        # was ~78 M structs for one unified M-term). The window sort is
+        # distributed and spillable; it only runs when theta is usable.
+        # With cache=True the reduced tuple memoizes per (term, topn) —
+        # fresh idf/avgdl are pinned for the Engine's snapshot, so the
+        # adjusted bounds are constants and a repeat term costs ZERO
+        # Spark jobs.
         for c in ("idf0", "avgdl0"):      # pre-snapshot index: scale = 1
             if c not in bdf.columns:
                 bdf = bdf.withColumn(c, F.lit(None).cast("double"))
-        todo = ([t for t in terms if t not in self._block_meta]
-                if self._cache else terms)
-        raw: dict[int, tuple] = {}
-        if todo:
-            src = bdf if todo == terms else bdf.where(
-                F.col("term_id").isin(todo))
-            for r in (src.groupBy("term_id").agg(
-                    F.collect_list(F.struct("max_score", "idf0", "avgdl0"))
-                    .alias("bs"),
-                    F.sum("n_docs").alias("npost"),
-                    F.min("first_doc").alias("blo"),
-                    F.max("last_doc").alias("bhi"))).collect():
-                ms = np.array([b["max_score"] for b in r["bs"]])
-                i0 = np.array([np.nan if b["idf0"] is None else b["idf0"]
-                               for b in r["bs"]])
-                a0 = np.array([np.nan if b["avgdl0"] is None else b["avgdl0"]
-                               for b in r["bs"]])
-                raw[int(r["term_id"])] = (ms, i0, a0, int(r["npost"]),
-                                          int(r["blo"]), int(r["bhi"]))
-            if self._cache:
-                self._block_meta.update(raw)
-        if self._cache:
-            raw = {t: self._block_meta[t] for t in terms
-                   if t in self._block_meta}
-        mrows = []
-        for t, (ms, i0, a0, npost, blo, bhi) in raw.items():
-            fidf, favgdl = fresh[t]
-            scale = fidf / np.maximum(np.where(np.isnan(i0), fidf, i0),
-                                      1e-12)
-            ratio = favgdl / np.maximum(np.where(np.isnan(a0), favgdl, a0),
-                                        1e-12)
-            lb = np.sort(ms * scale * np.minimum(ratio, 1.0))[::-1]
-            mrows.append({"term_id": t, "tops": lb[:topn].tolist(),
-                          "ubm": float((ms * scale
-                                        * np.maximum(ratio, 1.0)).max()),
-                          "nb": len(ms), "npost": npost,
-                          "blo": blo, "bhi": bhi})
-        if not mrows:
-            return empty, 0, "eq"
-        # Catalyst expressions for the pushed-down block-skip filter
+        tomb = self.cat.tombstones()
+        # a tombstoned/banned doc may be the block-max achiever, so the
+        # floor is only a valid lower bound on a CLEAN unfiltered
+        # single-term-group query; `optimize` restores pruning after
+        # deletes
+        need_theta = (n_groups == 1 and tomb is None
+                      and banned_df is None and n_pgroups == 0)
         fresh_df = self.spark.createDataFrame(
             clauses[["term_id", "idf", "avgdl"]]
             .drop_duplicates("term_id")
@@ -876,18 +843,63 @@ class Engine:
                                     F.lit(1e-12)))
         adj_ub = (F.col("max_score") * idf_scale
                   * F.greatest(avgdl_ratio, F.lit(1.0)))
+        adj_lb = (F.col("max_score") * idf_scale
+                  * F.least(avgdl_ratio, F.lit(1.0)))
+        ckey = topn if need_theta else None
+        todo = ([t for t in terms if (t, ckey) not in self._block_meta]
+                if self._cache else terms)
+        raw: dict[int, tuple] = {}
+        if todo:
+            src = bdf if set(todo) == set(terms) else bdf.where(
+                F.col("term_id").isin(todo))
+            src = (src.join(F.broadcast(fresh_df), "term_id")
+                   .select("term_id", "n_docs", "first_doc", "last_doc",
+                           adj_ub.alias("adj_ub"), adj_lb.alias("adj_lb")))
+            if need_theta:
+                from pyspark.sql import Window
+                w = Window.partitionBy("term_id").orderBy(
+                    F.desc("adj_lb"))
+                src = src.withColumn("rn", F.row_number().over(w))
+                # null iff the term has < topn blocks (theta ineligible)
+                lbn_agg = F.max(F.when(F.col("rn") == topn,
+                                       F.col("adj_lb")))
+            else:
+                lbn_agg = F.first(F.lit(None).cast("double"))
+            rows = src.groupBy("term_id").agg(
+                F.max("adj_ub").alias("ubm"),
+                F.count(F.lit(1)).alias("nb"),
+                F.sum("n_docs").alias("npost"),
+                F.min("first_doc").alias("blo"),
+                F.max("last_doc").alias("bhi"),
+                lbn_agg.alias("lbn")).collect()
+            #: driver-received metadata rows this query (test hook:
+            #: bounded at one per term regardless of block count)
+            self.last_meta_rows = len(rows)
+            for r in rows:
+                raw[int(r["term_id"])] = (
+                    float(r["ubm"]), int(r["nb"]), int(r["npost"]),
+                    int(r["blo"]), int(r["bhi"]),
+                    None if r["lbn"] is None else float(r["lbn"]))
+            if self._cache:
+                for t, v in raw.items():
+                    self._block_meta[(t, ckey)] = v
+        else:
+            self.last_meta_rows = 0
+        if self._cache:
+            raw = {t: self._block_meta[(t, ckey)] for t in terms
+                   if (t, ckey) in self._block_meta}
+        mrows = [{"term_id": t, "ubm": ubm, "nb": nb, "npost": npost,
+                  "blo": blo, "bhi": bhi, "lbn": lbn}
+                 for t, (ubm, nb, npost, blo, bhi, lbn) in raw.items()]
+        if not mrows:
+            return empty, 0, "eq"
         lo = min(int(r["blo"]) for r in mrows)
         hi = max(int(r["bhi"]) for r in mrows)
-        tomb = self.cat.tombstones()
         theta = 0.0
-        # a tombstoned/banned doc may be the block-max achiever, so the
-        # floor is only a valid lower bound on a CLEAN unfiltered index;
-        # `optimize` restores pruning after deletes
-        if (n_groups == 1 and tomb is None and banned_df is None
-                and n_pgroups == 0):
+        if need_theta:
             for r in mrows:
-                if int(r["nb"]) >= topn:
-                    theta = max(theta, r["tops"][topn - 1]
+                if int(r["nb"]) >= topn and r["lbn"] is not None:
+                    theta = max(theta, r["lbn"]
                                 * max_boost[int(r["term_id"])])
         ub = {int(r["term_id"]): r["ubm"] * max_boost[int(r["term_id"])]
               for r in mrows}

