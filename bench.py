@@ -92,6 +92,8 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
         with clock(name + "_warm"):
             eng.search(q, k=20, mode=mode, with_fields=False)
 
+    eng.close()   # release persisted tables before the pipeline ops
+
     for op in ("dedup_minhash", "ann_cosine_topk", "ann_bucketed_topk",
                "tpch_q1"):
         fn, _sql = REGISTRY[op]

@@ -195,7 +195,11 @@ def maybe_fold_dictionary(cat: Catalog,
     if n_seg < max_segments:
         return False
     merged = cat.read_dictionary().where(F.col("df") > 0)
-    cat.overwrite(merged, "dictionary", ["dbucket"])
+    # pre-dbucket flat dictionaries stay flat (mirror the
+    # _append_dictionary_delta guard — partitionBy on a missing
+    # column would fail the 16th delta append)
+    cat.overwrite(merged, "dictionary",
+                  ["dbucket"] if "dbucket" in merged.columns else None)
     cat.set_props(dict_segments=0)
     cat.commit_table("dictionary", folded_segments=n_seg)
     return True

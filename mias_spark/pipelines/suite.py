@@ -312,11 +312,23 @@ _SHINGLES_SQL = f"""
 """
 
 
+#: max members per (band, key) bucket that enter the all-pairs join.
+#: Boilerplate-heavy corpora produce degenerate bands whose m members
+#: would emit m^2 candidate pairs; members beyond the cap (doc_id order,
+#: deterministic) are dropped and counted, bounding any bucket's output
+#: at cap^2 — the B4 skew-salting idea applied to LSH banding. The cap
+#: sits far above the test fixtures' max bucket, so oracled results are
+#: unaffected there.
+_BAND_CAP = 1024
+
+
 def dedup_minhash(spark, sf_dir):
     """MinHash + LSH banding: ONE md5 per shingle, its 32-hex digest
     sliced into 8 independent 4-hex lanes (one-permutation-hashing
     style — 8x less hashing than seed-prefixed md5s); per-doc signature
-    = per-lane min; 4 bands of 2 -> candidate pairs sharing >=1 band."""
+    = per-lane min; 4 bands of 2 -> candidate pairs sharing >=1 band.
+    Band buckets larger than _BAND_CAP are truncated (dropped members
+    surface in the named observation below)."""
     sh = (_shingles(spark, sf_dir)
           .withColumn("h", F.concat(F.md5("sh"),
                                     F.md5(F.concat(F.lit("x"), "sh")))))
@@ -329,7 +341,15 @@ def dedup_minhash(spark, sf_dir):
                  .alias("key"))
         for b in range(_N_HASH // 2)])).alias("bk")) \
         .select("doc_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    ranked = (bands.withColumn("rnk", F.row_number().over(w))
+              # truncation is VISIBLE: the named metric records how
+              # many bucket members were dropped (0 on healthy data)
+              .observe("minhash_band_cap",
+                       F.sum(F.when(F.col("rnk") > _BAND_CAP, 1)
+                             .otherwise(0)).alias("dropped_members")))
+    capped = ranked.where(F.col("rnk") <= _BAND_CAP).drop("rnk")
+    a, b = capped.alias("a"), capped.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -639,7 +659,7 @@ _IVF_PIVOTS = 16
 _IVF_PROBE = 6
 
 
-def _ivf_pivot_ids(total: int = 500) -> list[int]:
+def _ivf_pivot_ids(total: int) -> list[int]:
     import hashlib
     return sorted({int.from_bytes(
         hashlib.md5(f"ivf:{j}".encode()).digest()[:4], "big") % total
@@ -648,7 +668,12 @@ def _ivf_pivot_ids(total: int = 500) -> list[int]:
 
 def ann_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    piv = (emb.where(F.col("vec_id").isin(_ivf_pivot_ids()))
+    # pivot modulus derives from the ACTUAL row count (footer-only
+    # count) — a resized fixture shifts the pivot set instead of
+    # silently sampling only a prefix of it. The static DuckDB oracle
+    # below pins total=500, the sf0.01 fixture size the driver's
+    # correctness gate runs at (sf0.01/sf0.001 both have 500 vectors).
+    piv = (emb.where(F.col("vec_id").isin(_ivf_pivot_ids(emb.count())))
            .select(F.col("vec_id").alias("pid"),
                    F.col("embedding").alias("pe")))
     dotp = F.expr("aggregate(zip_with(embedding, pe, (x, y) -> "
@@ -688,7 +713,7 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def _ivf_sql() -> str:
-    pvl = ", ".join(map(str, _ivf_pivot_ids()))
+    pvl = ", ".join(map(str, _ivf_pivot_ids(500)))
     cos_qp = (f"(SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) "
               f"FROM generate_series(1, {_DIM}) AS g(i)) "
               f"/ sqrt((SELECT sum(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) "
