@@ -415,12 +415,22 @@ def delete_by_path(spark: SparkSession, index_dir: str,
 TOMBSTONE_COMPACT_RATIO = 0.25
 
 
+#: fraction of term buckets one compact_step cleans (n_buckets // this)
+COMPACT_BUCKET_FRACTION = 4
+
+
 def maybe_compact(spark: SparkSession, index_dir: str,
                   ratio: float = TOMBSTONE_COMPACT_RATIO) -> bool:
-    """Merge-policy analog: compact when tombstoned docs exceed
-    ``ratio`` of the live set (reclaims space and re-arms the block-max
-    pruning floor, which is disabled while tombstones exist)."""
+    """Merge-policy analog: when tombstoned docs exceed ``ratio`` of
+    the live set, advance a BOUNDED compaction epoch (compact_step)
+    instead of a full synchronous optimize — at 10^10 docs a full
+    rebuild inside one unlucky upsert call is not acceptable. An
+    in-flight epoch keeps stepping on every trigger until it converges
+    (tombstones retired, one clean segment per bucket)."""
     cat = Catalog(spark, index_dir)
+    if cat.props().get("compact_pending"):
+        compact_step(spark, index_dir)
+        return True
     tomb = cat.tombstones()
     if tomb is None:
         return False
@@ -430,8 +440,119 @@ def maybe_compact(spark: SparkSession, index_dir: str,
     n_live = live_store(cat).count()
     if n_dead <= ratio * max(n_live, 1):
         return False
-    optimize(spark, index_dir)
+    compact_step(spark, index_dir)
     return True
+
+
+def compact_step(spark: SparkSession, index_dir: str,
+                 max_buckets: int | None = None) -> dict:
+    """Bounded incremental compaction (the Lucene merge-policy shape,
+    callable out-of-band). Each invocation:
+
+    1. on epoch start, snapshots the current tombstones (docs dying
+       mid-epoch stay tombstoned until the NEXT epoch — per-bucket
+       cleaning must use one consistent dead set),
+    2. cleans + repacks up to ``max_buckets`` term buckets: snapshot
+       docs' posting rows dropped, idf/df/avgdl refreshed from the
+       merged dictionary + current field stats (merged segments carry
+       different pack-time snapshots, so a repacked block needs ONE
+       consistent idf0), one globally doc-sorted segment per bucket
+       written via dynamic partition overwrite,
+    3. when the last bucket finishes, purges doc_store / tokens /
+       doc_norms of the snapshot docs, retires the snapshot tombstones
+       (clearing the table — and re-arming the block-max pruning floor
+       — if nothing newer died), and folds the dictionary deltas.
+
+    No single call rewrites more than ~1/COMPACT_BUCKET_FRACTION of the
+    postings; repeated triggers converge to one clean segment. Stats
+    stay exact throughout — the incremental delta maintenance already
+    updated them at delete time."""
+    cat = Catalog(spark, index_dir)
+    props = cat.props()
+    n_buckets = props["n_buckets"]
+    pending = props.get("compact_pending")
+    if not pending:
+        tomb = cat.tombstones()
+        if tomb is None or not tomb.limit(1).count():
+            return {"state": "clean"}
+        cat.write(tomb.select("doc_id").distinct(), "_compact_epoch_tomb")
+        pending = list(range(n_buckets))
+    if max_buckets is None:
+        max_buckets = max(1, n_buckets // COMPACT_BUCKET_FRACTION)
+    todo, rest = pending[:max_buckets], pending[max_buckets:]
+    snap = cat.read("_compact_epoch_tomb")
+    ts = time.time()
+
+    # ---- clean + repack the bucket slice with consistent fresh stats
+    fs = cat.props()["field_stats"]
+    stats_df = spark.createDataFrame(
+        [(f, int(v["n_docs"]), float(v["avgdl"])) for f, v in fs.items()],
+        "field string, n_docs long, avgdl double")
+    dic = (cat.read_dictionary()
+           .groupBy("term_id").agg(F.sum("df").alias("df")))
+    posts = (cat.read("postings")
+             .where(F.col("bucket").isin([int(b) for b in todo]))
+             .join(snap, "doc_id", "leftanti")
+             .drop("df", "idf", "avgdl")
+             .join(dic, "term_id")
+             .join(F.broadcast(stats_df), "field")
+             .withColumn("idf", F.log(
+                 F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                 / (F.col("df") + 0.5)))
+             .select("term_id", "field", "doc_id", "tf", "wsum", "dl",
+                     "df", "idf", "avgdl", "positions", "bucket"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    n_out = max(len(todo), spark.sparkContext.defaultParallelism)
+    # stage the cleaned slice first: the dynamic partition overwrite
+    # cannot read from the path it is rewriting (the full overwrite()
+    # has the same stage-then-swap dance built in)
+    cat.write(posts, "_staging_compact_posts")
+    staged = cat.read("_staging_compact_posts")
+    cat.overwrite_partitions(
+        staged.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
+              .sortWithinPartitions("term_id", "doc_id"),
+        "postings", ["bucket"])
+    cat.commit_table("postings")
+    from mias_spark import blocks as blk
+    from mias_spark.build import _salted
+    clean = (cat.read("postings")
+             .where(F.col("bucket").isin([int(b) for b in todo])))
+    packed = (_salted(clean)
+              .repartition(n_out, "term_id", "salt")
+              .sortWithinPartitions("term_id", "salt", "doc_id")
+              .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
+              .withColumn("bucket",
+                          F.pmod("term_id", F.lit(n_buckets)).cast("int")))
+    cat.overwrite_partitions(packed, "blocks", ["bucket"])
+    cat.commit_table("blocks")
+
+    finalized = not rest
+    if finalized:
+        # ---- epoch end: purge doc-oriented tables, retire snapshot
+        cat.overwrite(cat.read("doc_store")
+                      .join(snap, "doc_id", "leftanti"), "doc_store")
+        cat.commit_table("doc_store")
+        toks = (cat.read("tokens", merge_schema=True)
+                .join(snap, "doc_id", "leftanti"))
+        cat.overwrite(toks.withColumn("tseg", _tseg()), "tokens",
+                      ["tseg"])
+        cat.commit_table("tokens")
+        cat.overwrite(cat.read("doc_norms")
+                      .join(snap, "doc_id", "leftanti"), "doc_norms")
+        cat.commit_table("doc_norms")
+        remaining = cat.tombstones().join(snap, "doc_id", "leftanti")
+        if remaining.limit(1).count():
+            cat.overwrite(remaining, "tombstones")   # died mid-epoch
+        else:
+            cat.clear_tombstones()
+        maybe_fold_dictionary(cat, max_segments=1)
+        cat.drop("_compact_epoch_tomb")
+    cat.set_props(compact_pending=rest)
+    cat.metric("compact_step", buckets=[int(b) for b in todo],
+               remaining=len(rest), finalized=finalized,
+               secs=time.time() - ts)
+    return {"state": "done" if finalized else "pending",
+            "buckets": todo, "remaining": len(rest)}
 
 def optimize(spark: SparkSession, index_dir: str) -> dict:
     """S8 optimize / force-merge analog (Indexing.java:167-179; Iceberg
@@ -450,6 +571,10 @@ def optimize(spark: SparkSession, index_dir: str) -> dict:
         cat.clear_tombstones()
     rebuild_stats(spark, cat)   # folds dictionary deltas into the base
     rebuild_postings_blocks(spark, cat)
+    # a full optimize supersedes any in-flight bounded epoch
+    if cat.props().get("compact_pending"):
+        cat.set_props(compact_pending=[])
+    cat.drop("_compact_epoch_tomb")
     out = {"purged_docs": n_dead,
            "n_buckets": cat.props()["n_buckets"]}
     cat.metric("optimize", **out)

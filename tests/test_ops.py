@@ -211,10 +211,13 @@ def test_upsert_appends_segments(spark, tmp_path):
 
 
 def test_auto_compaction_trigger(spark, tmp_path):
-    """Merge-policy: a delete pushing tombstones past the ratio
-    triggers compaction automatically (tombstones cleared, results
-    unchanged); small deletes stay metadata-only."""
-    from mias_spark.ops import delete_by_path
+    """Merge-policy: a delete pushing tombstones past the ratio starts
+    a BOUNDED compaction epoch — every step rewrites at most a bucket
+    slice (never the whole postings table), repeated triggers converge
+    to one clean segment per bucket with tombstones retired, and
+    results stay oracle-identical throughout. Small deletes stay
+    metadata-only."""
+    from mias_spark.ops import compact_step, delete_by_path
     c = corpus.make_corpus(60)
     ix = str(tmp_path / "ixauto")
     build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
@@ -224,16 +227,48 @@ def test_auto_compaction_trigger(spark, tmp_path):
     assert n1 > 0
     assert Engine(spark, ix).cat.tombstones() is not None
     # delete several more prefixes to cross the 25% ratio
-    ns = [delete_by_path(spark, ix, p)
-          for p in ("src/dir1/", "src/dir2/", "src/dir3/")]
+    for p in ("src/dir1/", "src/dir2/", "src/dir3/"):
+        delete_by_path(spark, ix, p)
     cat2 = Engine(spark, ix).cat
-    # compaction fired somewhere in the sequence: an optimize metric
-    # exists and the residual tombstones are at most the LAST delete's
-    assert any(x["stage"] == "optimize" for x in cat2.manifest()["metrics"])
-    tomb = cat2.tombstones()
-    assert tomb is None or tomb.count() <= ns[-1]
+    steps = [x for x in cat2.manifest()["metrics"]
+             if x["stage"] == "compact_step"]
+    # bounded steps fired; the full synchronous optimize never did
+    assert steps
+    assert not any(x["stage"] == "optimize"
+                   for x in cat2.manifest()["metrics"])
+    n_buckets = cat2.props()["n_buckets"]
+    assert all(len(x["buckets"]) <= max(1, n_buckets // 4)
+               for x in steps)
+    # drive the epoch to convergence out-of-band
+    for _ in range(3 * n_buckets):
+        if compact_step(spark, ix)["state"] == "clean":
+            break
+    cat3 = Engine(spark, ix).cat
+    assert cat3.tombstones() is None           # converged: floor re-armed
+    assert not cat3.props().get("compact_pending")
+    # one clean segment per bucket: (term, salt, block_ord) unique and
+    # no dead doc left anywhere
+    from pyspark.sql import functions as F
+    dup = (cat3.read("blocks")
+           .groupBy("term_id", "salt", "block_ord")
+           .count().where(F.col("count") > 1).count())
+    assert dup == 0
     expected = c[~c["path"].str.contains("src/dir[1235]/", regex=True)]
+    store_ids = {r[0] for r in
+                 cat3.read("doc_store").select("doc_id").collect()}
+    post_ids = {r[0] for r in cat3.read("postings")
+                .select("doc_id").distinct().collect()}
+    assert post_ids <= store_ids and len(store_ids) == len(expected)
     _check_query(spark, ix, expected)
+    # blocks plan agrees and theta pruning is active again
+    eng3 = Engine(spark, ix)
+    # k=1: theta needs a term with >= topn blocks, and the compacted
+    # 40-doc index packs one block per term
+    got = eng3.search("energy", k=1, mode="blocks", with_fields=False)
+    ref = eng3.search("energy", k=1, mode="df", with_fields=False)
+    assert [int(d) for d in got.hits["doc_id"]] == \
+        [int(d) for d in ref.hits["doc_id"]]
+    assert eng3.last_blocks_stats["theta"] > 0
 
 
 def test_upsert_is_delta_only(spark, tmp_path):
