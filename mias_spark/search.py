@@ -561,17 +561,17 @@ class Engine:
                 # docs only (the reference's snippet thread pool analog,
                 # Searching.java:314-399)
                 from mias_spec.snippets import make_snippet
-                # phrase constituents highlight too (they live in
-                # q.phrases, not q.clauses)
+                # phrase clauses highlight their contiguous occurrence
+                # as ONE span (they live in q.phrases, not q.clauses)
+                phrase_lists = [tuple(p.terms) for p in q.phrases
+                                if not p.must_not]
                 text_terms = sorted(
                     {c.term for c in q.clauses
-                     if c.fld in ("content", "title")}
-                    | {t for p in q.phrases if not p.must_not
-                       for t in p.terms})
+                     if c.fld in ("content", "title")})
                 mterms = {c.term for c in q.clauses
                           if c.fld in ("pmath", "cmath")}
                 hits["snippet"] = [
-                    make_snippet(ct, lg, text_terms, mterms)
+                    make_snippet(ct, lg, text_terms, mterms, phrase_lists)
                     for ct, lg in zip(hits["content"], hits["lang"])]
                 hits = hits.drop(columns=["content", "lang"])
         if debug and len(hits):

@@ -75,6 +75,42 @@ def text_fragments(body: str, terms: list[str],
     return out
 
 
+def _phrase_regex(terms: tuple[str, ...]) -> re.Pattern:
+    """Contiguous occurrence of a phrase in RAW text: constituents
+    separated by non-word chars, tolerating up to 3 intervening words
+    (the analyzer dropped stopwords before adjacency was indexed, so
+    'state of the art' matches the phrase query "state art")."""
+    gap = r"(?:\W+\w+){0,3}?\W+"
+    return re.compile(
+        r"\b" + gap.join(re.escape(t) for t in terms) + r"\b",
+        re.IGNORECASE)
+
+
+def phrase_fragments(body: str, phrases: list[tuple[str, ...]],
+                     max_fragments: int = MAX_TEXT_FRAGMENTS) -> list[str]:
+    """One sentence-bounded fragment per distinct phrase, the whole
+    contiguous occurrence wrapped as ONE <b> span (the PhraseQuery
+    highlighting shape, NiceSnippetExtractor.java:195-257 — the
+    reference highlights the span, not each constituent)."""
+    out = []
+    for terms in dict.fromkeys(tuple(t.lower() for t in p if t)
+                               for p in phrases):
+        if not terms:
+            continue
+        pat = _phrase_regex(terms)
+        m = pat.search(body)
+        if not m:
+            continue
+        lo, hi = _sentence_window(body, m.start(), m.end())
+        frag = pat.sub(lambda mm: f"<b>{mm.group(0)}</b>",
+                       body[lo:hi].strip())
+        if frag:
+            out.append(frag)
+        if len(out) >= max_fragments:
+            break
+    return out
+
+
 def math_fragments(maths: list[ET.Element], query_mterms: set[str],
                    max_fragments: int = MAX_MATH_FRAGMENTS) -> list[str]:
     """Best math spans: each <math> element scored by the MAX weight of
@@ -99,14 +135,17 @@ def math_fragments(maths: list[ET.Element], query_mterms: set[str],
 
 
 def make_snippet(content: str, lang: str | None, text_terms: list[str],
-                 query_mterms: set[str]) -> str:
+                 query_mterms: set[str],
+                 phrases: list[tuple[str, ...]] = ()) -> str:
     """Assembled snippet for one result document: math fragments first
-    (highest payload), then text fragments, " … "-joined."""
+    (highest payload), then whole-span phrase fragments, then text
+    fragments, " … "-joined."""
     content = content or ""
     if _is_markup(content, lang):
         _title, body, _ax, _au, maths = _extract_html_fields(content)
     else:
         body, maths = content, []
     frags = math_fragments(maths, query_mterms)
+    frags += phrase_fragments(body, list(phrases))
     frags += text_fragments(body, text_terms)
     return " … ".join(frags)

@@ -374,12 +374,17 @@ def test_duplicate_upsert_batch_rejected_before_mutation(spark, tmp_path):
 
 
 def test_phrase_snippets_highlight(spark, tiny_build):
-    """Phrase-query snippets highlight the phrase's constituent terms
-    (they come from q.phrases, not q.clauses)."""
+    """Phrase-query snippets wrap the CONTIGUOUS phrase occurrence as
+    one span (NiceSnippetExtractor highlights the span, not each
+    constituent)."""
+    import re
     from mias_spark.search import Engine
     c, cat, oidx, ix = tiny_build
     eng = Engine(spark, ix)
     res = eng.search('"items total"', k=3, snippets=True)
     assert len(res.hits) > 0
-    assert any("<b>items</b>" in s and "<b>total</b>" in s
-               for s in res.hits["snippet"])
+    one_span = re.compile(r"<b>items\W+total</b>", re.IGNORECASE)
+    assert any(one_span.search(s) for s in res.hits["snippet"])
+    # constituents are NOT separately bolded when only the phrase
+    # mentions them
+    assert not any("<b>items</b>" in s for s in res.hits["snippet"])
