@@ -14,6 +14,20 @@ files; upsert itself is idempotent per doc_key (a replayed batch
 re-replaces the same docs), so a crash between batch and checkpoint
 re-applies harmlessly.
 
+Late data (the watermark story): source rows MAY carry a
+``commit_ts timestamp`` column (files without it read as null = always
+on-time). The stream keeps an append-only ``_stream_versions`` table of
+ingested (repo, path, ts) rows — max-at-read, the same delta shape as
+the dictionary segments, so recording a batch costs one small append,
+never a rewrite. A row whose commit_ts is older than the newest
+already-ingested version of its (repo, path) by more than
+``allowed_lateness_s`` is routed to the ``_stream_dead_letter`` table
+(full row + batch_id + reason, replayable) instead of being merged —
+a stale commit must not resurface beside the newer version it lost to.
+Two commits arriving in ONE batch both merge (they are distinct docs,
+exactly as in batch upsert); the watermark guards cross-batch arrival
+order only.
+
 Use ``trigger_available_now=True`` for a drain-and-stop run (batch
 catch-up), or False for a continuously-running micro-batch ingester.
 """
@@ -26,26 +40,56 @@ from pyspark.sql import SparkSession
 
 CORPUS_SCHEMA = ("repo string, path string, commit string, lang string, "
                  "content string")
+STREAM_SCHEMA = CORPUS_SCHEMA + ", commit_ts timestamp"
+
+
+def _split_late(cat, batch, allowed_lateness_s: float):
+    """(late_rows | None, ontime_rows): late = commit_ts older than the
+    newest ingested version of the same (repo, path) minus the allowed
+    lateness. Null commit_ts rows are always on-time."""
+    from pyspark.sql import functions as F
+    if not cat.has_table("_stream_versions"):
+        return None, batch
+    ver = (cat.read("_stream_versions")
+           .groupBy("repo", "path").agg(F.max("ts").alias("_maxts")))
+    j = batch.join(ver, ["repo", "path"], "left")
+    is_late = (F.col("commit_ts").isNotNull()
+               & F.col("_maxts").isNotNull()
+               & (F.col("commit_ts")
+                  < F.col("_maxts") - F.expr(
+                      f"INTERVAL {float(allowed_lateness_s)} SECONDS")))
+    return (j.where(is_late).drop("_maxts"),
+            j.where(~is_late).drop("_maxts"))
+
+
+def _record_versions(cat, rows) -> None:
+    from pyspark.sql import functions as F
+    seen = (rows.where(F.col("commit_ts").isNotNull())
+            .select("repo", "path", F.col("commit_ts").alias("ts")))
+    if seen.take(1):
+        cat.append(seen, "_stream_versions")
 
 
 def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
                   checkpoint_dir: str | None = None,
                   trigger_available_now: bool = True,
                   max_files_per_trigger: int | None = None,
-                  n_buckets: int = 16):
+                  n_buckets: int = 16,
+                  allowed_lateness_s: float = 0.0):
     """Ingest corpus parquet files appearing under ``source_dir`` into
     the index as micro-batch upserts. Returns the StreamingQuery
     (awaitTermination happens inside when draining with availableNow).
 
     If the index does not exist yet, the FIRST non-empty micro-batch
     bootstraps it via build_index (``n_buckets`` applies then); every
-    later batch is one MERGE delta.
+    later batch is one MERGE delta. Rows later than the watermark (see
+    module docstring) land in ``_stream_dead_letter``.
     """
     from mias_spark.ops import upsert
 
     checkpoint_dir = checkpoint_dir or os.path.join(
         index_dir, "_stream_checkpoint")
-    reader = (spark.readStream.schema(CORPUS_SCHEMA)
+    reader = (spark.readStream.schema(STREAM_SCHEMA)
               .format("parquet"))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -74,10 +118,22 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
         from mias_spark.catalog import Catalog
         cat = Catalog(batch.sparkSession, index_dir)
         if not cat.table_done("blocks"):
-            build_index(batch.sparkSession, batch, index_dir,
-                        n_buckets=n_buckets)
-        else:
-            upsert(batch.sparkSession, index_dir, batch)
+            # bootstrap: nothing is indexed yet, nothing can be late
+            build_index(batch.sparkSession, batch.drop("commit_ts"),
+                        index_dir, n_buckets=n_buckets)
+            _record_versions(cat, batch)
+            return
+        late, ontime = _split_late(cat, batch, allowed_lateness_s)
+        if late is not None and late.take(1):
+            cat.append(
+                late.withColumn("batch_id", F.lit(int(batch_id)))
+                    .withColumn("reason", F.lit("late_commit_ts"))
+                    .withColumn("dead_ts", F.current_timestamp()),
+                "_stream_dead_letter")
+        if ontime.take(1):
+            upsert(batch.sparkSession, index_dir,
+                   ontime.drop("commit_ts"))
+            _record_versions(cat, ontime)
 
     writer = src.writeStream.foreachBatch(apply_batch) \
         .option("checkpointLocation", checkpoint_dir)
@@ -86,3 +142,12 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def dead_letters(spark: SparkSession, index_dir: str):
+    """The dead-letter table (None when nothing was ever late)."""
+    from mias_spark.catalog import Catalog
+    cat = Catalog(spark, index_dir)
+    if not cat.has_table("_stream_dead_letter"):
+        return None
+    return cat.read("_stream_dead_letter")

@@ -87,3 +87,53 @@ def test_empty_build_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="empty"):
         build_index(spark, spark.createDataFrame([], CORPUS_SCHEMA),
                     str(tmp_path / "ixempty"), n_buckets=2)
+
+
+def test_stream_late_commit_dead_letter(spark, tmp_path):
+    """Commit-timestamp watermark (VERDICT r2 #8): a late-arriving OLDER
+    commit of an already-ingested path routes to the dead-letter table
+    and is NOT merged; on-time rows in the same batch still merge."""
+    from mias_spark.streaming import dead_letters
+
+    root = str(tmp_path / "late")
+    ix, src = os.path.join(root, "ix"), os.path.join(root, "incoming")
+    os.makedirs(src)
+    c = corpus.make_corpus(30)
+    t2 = pd.Timestamp("2026-02-01 12:00:00")
+    first = c.copy()
+    first["commit_ts"] = t2
+    spark.createDataFrame(first).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_upsert(spark, ix, src, trigger_available_now=True, n_buckets=2)
+
+    # batch 2: an OLDER commit of doc 0's path + one genuinely new doc
+    stale = c.iloc[[0]].copy()
+    stale["commit"] = "f" * 40
+    stale["content"] = ["<html><body><p>stale resurrected</p></body></html>"]
+    stale["commit_ts"] = pd.Timestamp("2026-01-15 12:00:00")
+    fresh = corpus.make_corpus(31).iloc[30:].copy()
+    fresh["commit_ts"] = pd.Timestamp("2026-02-02 12:00:00")
+    spark.createDataFrame(pd.concat([stale, fresh], ignore_index=True)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_upsert(spark, ix, src, trigger_available_now=True)
+
+    dl = dead_letters(spark, ix)
+    assert dl is not None
+    rows = dl.toPandas()
+    assert len(rows) == 1
+    assert rows["commit"].iloc[0] == "f" * 40
+    assert rows["reason"].iloc[0] == "late_commit_ts"
+    eng = Engine(spark, ix)
+    keys = set(eng.cat.read("doc_store").toPandas()["doc_key"])
+    import hashlib
+    stale_key = hashlib.sha256(
+        "|".join([stale["repo"].iloc[0], stale["path"].iloc[0],
+                  "f" * 40]).encode()).hexdigest()
+    fresh_key = hashlib.sha256(
+        "|".join([fresh["repo"].iloc[0], fresh["path"].iloc[0],
+                  fresh["commit"].iloc[0]]).encode()).hexdigest()
+    assert stale_key not in keys          # late commit never merged
+    assert fresh_key in keys              # on-time row in same batch did
+    # the stale term is unsearchable
+    assert len(eng.search("resurrected", k=5,
+                          with_fields=False).hits) == 0
