@@ -57,6 +57,25 @@ class SearchResult:
     blocks_stats: dict | None = None
 
 
+def _merge_partials(acc_docs, acc_grps, acc_scores, gm):
+    """(sorted docs, partial sums, group bitmasks) over everything
+    accumulated so far — the cursor state for the conjunctive dynamic
+    floor (partial sums are valid lower bounds of final scores)."""
+    docs_a = np.concatenate(acc_docs)
+    grps_a = np.concatenate(acc_grps)
+    sc_a = np.concatenate(acc_scores)
+    key = docs_a * gm + grps_a
+    uk, inv = np.unique(key, return_inverse=True)
+    gsum = np.zeros(len(uk))
+    np.add.at(gsum, inv, sc_a)
+    pdocs, dinv = np.unique(uk // gm, return_inverse=True)
+    psum = np.zeros(len(pdocs))
+    np.add.at(psum, dinv, gsum)
+    pmask = np.zeros(len(pdocs), np.int64)
+    np.bitwise_or.at(pmask, dinv, np.int64(1) << (uk % gm))
+    return pdocs, psum, pmask
+
+
 def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
                 allow_docs=None, allow_ps=None) -> pd.DataFrame:
     """The per-shard block kernel (module-level so unit tests can
@@ -66,6 +85,7 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
      h_allow) = params
     acc_docs, acc_grps, acc_scores, order = [], [], [], []
     n_skipped = 0
+    n_lossy = 0
 
     def decode(row):
         docs, tfs, dls, ws = blk.unpack_block(row)
@@ -147,19 +167,62 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
         for g, rows_g in other_by_grp.items():
             for row, _e in rows_g:
                 filed_under[int(row.term_id)] = g
-        # smaller groups first: they shrink the candidate set fastest
+        # smaller groups first: they shrink the candidate set fastest.
+        # The LAST (largest) group additionally runs under a DYNAMIC
+        # floor: its blocks decode in upper-bound order while theta_c
+        # tracks the n_top-th best total among docs that already
+        # COMPLETED the conjunction — a block is skipped when even the
+        # best prior partial sum in its doc range plus its own bound
+        # cannot reach that floor (the doc-at-a-time cursor-WAND analog
+        # for a batch kernel). Such skips drop docs that DO match the
+        # conjunction but provably miss the top-n, so they are counted
+        # separately (n_lossy) and totals degrade to a lower bound.
         grp_order = sorted(
             other_by_grp,
             key=lambda g: (sum(int(r.n_docs) for r, _ in other_by_grp[g]),
                            g))
-        for g in grp_order:
+        full_mask = 0
+        for es in cmap_l.values():
+            for g2, _ in es:
+                full_mask |= 1 << g2
+        for gi, g in enumerate(grp_order):
+            is_last = gi == len(grp_order) - 1
+            rows_g = other_by_grp[g]
+            theta_c = 0.0
+            pdocs = psum = pmask = None
+            if (is_last and not h_allow and gm <= (1 << 62)
+                    and acc_docs and len(cand)):
+                pdocs, psum, pmask = _merge_partials(
+                    acc_docs, acc_grps, acc_scores, gm)
+                # UB-descending decode order fills the floor fastest
+                def _ub(pair):
+                    row = pair[0]
+                    i0 = row.idf0 if row.idf0 == row.idf0 else None
+                    a0 = row.avgdl0 if row.avgdl0 == row.avgdl0 else None
+                    scale = row.idf / max(i0 if i0 is not None
+                                          else row.idf, 1e-12)
+                    ratio = row.avgdl / max(a0 if a0 is not None
+                                            else row.avgdl, 1e-12)
+                    return (row.max_score * scale * max(ratio, 1.0)
+                            * sum(b for _, b in pair[1]))
+                rows_g = sorted(rows_g, key=lambda p: -_ub(p))
+                ubs = [_ub(p) for p in rows_g]
+                comp_tot = np.empty(0)
             seen_parts = []
-            for row, entries in other_by_grp[g]:
+            for ri, (row, entries) in enumerate(rows_g):
                 if (len(cand) == 0
                         or np.searchsorted(cand, row.first_doc)
                         >= np.searchsorted(cand, row.last_doc, "right")):
                     n_skipped += 1   # no candidate in range: no decode
                     continue
+                if pdocs is not None and theta_c > 0.0:
+                    li = np.searchsorted(pdocs, row.first_doc)
+                    hi = np.searchsorted(pdocs, row.last_doc, "right")
+                    maxp = psum[li:hi].max() if hi > li else 0.0
+                    if maxp + ubs[ri] < theta_c:
+                        n_skipped += 1
+                        n_lossy += 1   # may drop true matches: gte
+                        continue
                 docs, tfs, dls, ws = decode(row)
                 idx = np.searchsorted(cand, docs)
                 idx[idx == len(cand)] = 0
@@ -169,6 +232,29 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
                     continue
                 accumulate(row, entries, docs[m], tfs[m], dls[m], ws[m])
                 seen_parts.append(docs[m])
+                if pdocs is not None:
+                    contrib = acc_scores[-1] if len(entries) == 1 else \
+                        np.sum(acc_scores[-len(entries):], axis=0)
+                    # cand ⊆ accumulated docs, so every masked doc is
+                    # present in pdocs
+                    ii = np.searchsorted(pdocs, docs[m])
+                    psum[ii] += contrib
+                    gbits = 0
+                    for g2, _ in entries:
+                        gbits |= 1 << g2
+                    old = pmask[ii]
+                    new = old | np.int64(gbits)
+                    pmask[ii] = new
+                    newly = (new == full_mask) & (old != full_mask)
+                    if newly.any():
+                        comp_tot = np.concatenate(
+                            [comp_tot, psum[ii][newly]])
+                        if len(comp_tot) > 4 * n_top:
+                            comp_tot = comp_tot[np.argpartition(
+                                comp_tot, -4 * n_top)[-4 * n_top:]]
+                        if len(comp_tot) >= n_top:
+                            theta_c = float(np.partition(
+                                comp_tot, -n_top)[-n_top])
             # docs this group never matched can't pass the conjunction
             if all(filed_under.get(t, g) == g
                    for t in grp_terms.get(g, ())):
@@ -240,7 +326,7 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
 
     sentinel = pd.DataFrame(
         {"doc_id": [-1], "score": [0.0], "n_hits": [0],
-         "n_skipped": [n_skipped]})
+         "n_skipped": [n_skipped], "n_lossy": [n_lossy]})
     if not acc_docs:
         return sentinel
     # deterministic accumulation: concatenate in (term, salt,
@@ -274,6 +360,7 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
         "doc_id": ddocs.astype(np.int64), "score": tot,
         "n_hits": np.zeros(len(ddocs), np.int64),
         "n_skipped": np.zeros(len(ddocs), np.int64),
+        "n_lossy": np.zeros(len(ddocs), np.int64),
     }), sentinel], ignore_index=True)
 
 
@@ -306,7 +393,8 @@ class Engine:
         #: pruning stats of the most recent completed blocks search
         #: (see SearchResult.blocks_stats for the per-query value)
         self.last_blocks_stats: dict = {
-            "skipped_blocks": 0, "theta": 0.0, "n_shards": 0}
+            "skipped_blocks": 0, "lossy_blocks": 0, "theta": 0.0,
+            "n_shards": 0}
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache:
@@ -792,8 +880,8 @@ class Engine:
         doc may fail a multi-group conjunction, so its score is not a
         valid floor there (conjunctions prune via step 4 instead).
         """
-        self.last_blocks_stats = {"skipped_blocks": 0, "theta": 0.0,
-                                  "n_shards": 0}
+        self.last_blocks_stats = {"skipped_blocks": 0, "lossy_blocks": 0,
+                                  "theta": 0.0, "n_shards": 0}
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         terms = [int(t) for t in set(clauses["term_id"])]
@@ -966,7 +1054,8 @@ class Engine:
         bc = self.spark.sparkContext.broadcast(
             (cmap, n_groups, topn, lo, span, n_shards, gmult, eg,
              has_allow))
-        out_schema = "doc_id long, score double, n_hits long, n_skipped long"
+        out_schema = ("doc_id long, score double, n_hits long, "
+                      "n_skipped long, n_lossy long")
 
         def core(pdf, dead_l, allow_docs=None, allow_ps=None):
             return kernel_core(pdf, bc.value, dead_l, allow_docs,
@@ -1029,12 +1118,15 @@ class Engine:
         total = int(sent["n_hits"].sum())
         self.last_blocks_stats = {
             "skipped_blocks": int(sent["n_skipped"].sum()),
+            "lossy_blocks": int(sent["n_lossy"].sum()),
             "theta": theta, "n_shards": int(n_shards)}
         # totals are a lower bound whenever score-based pruning was
-        # active: the driver-side theta filter, or the in-kernel
-        # dynamic theta (single-group only — conjunction skips only
-        # drop provably non-matching docs, so those totals stay exact)
-        lossy = theta > 0.0 or (n_groups == 1
-                                and self.last_blocks_stats
-                                ["skipped_blocks"] > 0)
+        # active: the driver-side theta filter, the in-kernel dynamic
+        # theta (single-group), or the conjunctive dynamic floor
+        # (n_lossy sentinels — range skips alone stay exact, they only
+        # drop provably non-matching docs)
+        lossy = (theta > 0.0
+                 or (n_groups == 1
+                     and self.last_blocks_stats["skipped_blocks"] > 0)
+                 or self.last_blocks_stats["lossy_blocks"] > 0)
         return hits, total, ("gte" if lossy else "eq")

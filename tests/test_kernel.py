@@ -129,3 +129,50 @@ def test_conjunction_progressive_refinement():
     assert int(sent["n_skipped"].iloc[0]) == 10
     # conjunction skips drop only provably non-matching docs: exact
     assert int(sent["n_hits"].sum()) == 1
+
+
+def test_conjunctive_dynamic_theta_skips_and_rank_identity():
+    """Cursor-style dynamic floor for conjunctions (VERDICT r2 #9): the
+    LAST group's blocks decode in upper-bound order; once n_top docs
+    have completed the conjunction, blocks whose best prior partial +
+    own bound cannot reach the floor are skipped WITHOUT decoding —
+    and the top-n stays exactly the brute-force conjunctive ranking."""
+    # essential group: 10 docs spread across the last group's 10 blocks
+    eg_docs = {d: 5 for d in range(0, 1280, 128)}
+    t1 = _mk_term_blocks(1, eg_docs)
+    # last group: 1280 docs; doc 0 high-tf (dominant block), rest tf=1
+    big = {d: 1 for d in range(1280)}
+    big[0] = 50
+    t2 = _mk_term_blocks(2, big)
+    pdf = pd.concat([t1, t2], ignore_index=True)
+    assert (pdf["term_id"] == 2).sum() == 10
+    cmap = {1: [(0, 1.0)], 2: [(1, 1.0)]}
+    params = (cmap, 2, 1, 0, 10_000, 1, 4, 0, False)
+    out = kernel_core(pdf, params, None)
+    sent = out[out["doc_id"] < 0]
+    hits = out[out["doc_id"] >= 0]
+    # doc 0 dominates; after its block completes it, the other 9 blocks
+    # of term 2 (every one containing a live candidate, so range
+    # pruning alone cannot skip them) are theta-skipped
+    assert [int(d) for d in hits["doc_id"]] == [0]
+    assert np.allclose(hits["score"], _bm25(5) + _bm25(50))
+    assert int(sent["n_skipped"].iloc[0]) == 9
+    assert int(sent["n_lossy"].iloc[0]) == 9   # totals now a lower bound
+
+    # exactness under a random profile: top-3 must equal brute force
+    rng = np.random.default_rng(11)
+    eg2 = {int(d): int(t) for d, t in zip(
+        range(0, 1280, 16), rng.integers(1, 20, size=80))}
+    t1b = _mk_term_blocks(1, eg2)
+    big2 = {int(d): int(t) for d, t in enumerate(
+        rng.integers(1, 20, size=1280))}
+    t2b = _mk_term_blocks(2, big2)
+    out2 = kernel_core(pd.concat([t1b, t2b], ignore_index=True),
+                       (cmap, 2, 3, 0, 10_000, 1, 4, 0, False), None)
+    hits2 = out2[out2["doc_id"] >= 0]
+    both = sorted(eg2, key=lambda d: (-(_bm25(eg2[d]) + _bm25(big2[d])), d))
+    exp = both[:3]
+    assert [int(d) for d in hits2["doc_id"]] == exp
+    assert np.allclose(
+        hits2["score"],
+        [_bm25(eg2[d]) + _bm25(big2[d]) for d in exp], atol=1e-12)
