@@ -401,6 +401,12 @@ class Engine:
             return self.cat.read(name)
         if name not in self._tables:
             df = self.cat.read(name)
+            # interactive-latency trade: fewer, larger cached partitions
+            # cut per-job scheduling overhead (the warm-path cost is
+            # task dispatch, not compute); throughput scans use
+            # cache=False and keep full scan width
+            par = self.spark.sparkContext.defaultParallelism
+            df = df.coalesce(max(8, par // 4))
             df.persist()
             self._tables[name] = df
         return self._tables[name]
@@ -595,12 +601,19 @@ class Engine:
             scored = parts[0]
             for p in parts[1:]:
                 scored = scored.unionByName(p)
-            agg = (
-                scored.groupBy("doc_id")
-                .agg(F.sum("score").alias("score"),
-                     F.countDistinct("grp").alias("_ng"))
-                .where(F.col("_ng") == n_groups).drop("_ng")
-            )
+            if n_groups == 1:
+                # single MUST group: every matching doc satisfies the
+                # conjunction — the countDistinct (an Expand + second
+                # agg phase) is pure overhead
+                agg = scored.groupBy("doc_id").agg(
+                    F.sum("score").alias("score"))
+            else:
+                agg = (
+                    scored.groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"),
+                         F.countDistinct("grp").alias("_ng"))
+                    .where(F.col("_ng") == n_groups).drop("_ng")
+                )
             if banned is not None:
                 agg = agg.join(banned, "doc_id", "leftanti")
             # tombstones must also gate PHRASE matches: term scores are
