@@ -369,11 +369,16 @@ class Engine:
     """One Engine pins one index snapshot. ``cache=True`` arms the
     interactive-latency path: dictionary lookups memoize driver-side
     (a repeated term costs ZERO Spark jobs to compile) and the
-    postings/blocks/doc_store tables persist in executor memory —
-    lazily, so only the partitions queries actually scan materialize
-    (the hot-bucket model; at 100 TB the cold buckets stay on disk).
-    After an upsert/delete, build a fresh Engine — like reopening a
-    Lucene IndexReader on a new commit point."""
+    postings/blocks/dictionary tables persist PER BUCKET on first
+    touch (``_pruned``) — a query only ever materializes the buckets
+    it scans, so at 100 TB the cold buckets genuinely stay on disk
+    (persisting the whole table would materialize everything on the
+    first query, because a filter above an InMemoryRelation cannot
+    prune the underlying file scan). doc_store alone is persisted
+    whole (display fetches are k-row lookups; at real scale that
+    table belongs in a KV store or stays uncached). After an
+    upsert/delete, build a fresh Engine — like reopening a Lucene
+    IndexReader on a new commit point."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache: bool = False):
@@ -384,6 +389,12 @@ class Engine:
         self.n_buckets = props["n_buckets"]
         self._cache = cache
         self._tables: dict[str, DataFrame] = {}
+        self._slices: dict[tuple, DataFrame] = {}
+        #: lazy un-persisted base frames — ONE file listing per table
+        #: per Engine (a fresh spark.read per bucket slice would re-list
+        #: the table's files every time: 30-term math queries paid ~10 s
+        #: of driver-side listing before this cache)
+        self._bases: dict[str, DataFrame] = {}
         self._term_cache: dict[tuple[str, str], tuple | None] = {}
         #: (term_id, topn|None) -> reduced pruning metadata (ubm, nb,
         #: npost, blo, bhi, lbn) — O(1) per entry, never per-block
@@ -398,9 +409,9 @@ class Engine:
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache:
-            return self.cat.read(name)
+            return self._base(name)
         if name not in self._tables:
-            df = self.cat.read(name)
+            df = self._base(name)
             # interactive-latency trade: fewer, larger cached partitions
             # cut per-job scheduling overhead (the warm-path cost is
             # task dispatch, not compute); throughput scans use
@@ -411,10 +422,41 @@ class Engine:
             self._tables[name] = df
         return self._tables[name]
 
+    def _base(self, name: str) -> DataFrame:
+        if name not in self._bases:
+            self._bases[name] = self.cat.read(name)
+        return self._bases[name]
+
+    def _pruned(self, name: str, part_col: str,
+                values: list[int]) -> DataFrame:
+        """Partition-pruned read of a bucketed table. With cache=True
+        the pruned slice persists keyed by its BUCKET SET on first
+        touch — the hot-bucket model: a repeat query hits one cached
+        relation (no union overhead), and buckets no query scans are
+        never materialized at all (persisting the whole table would
+        read everything on the first query — indefensible at 10^12
+        docs). Overlapping bucket sets may cache a bucket twice; memory
+        cost is bounded by distinct query shapes, the interactive
+        engine's working set."""
+        vals = tuple(sorted({int(v) for v in values}))
+        pruned = self._base(name).where(F.col(part_col).isin(list(vals)))
+        if not self._cache:
+            return pruned
+        key = (name, vals)
+        if key not in self._slices:
+            par = self.spark.sparkContext.defaultParallelism
+            df = pruned.coalesce(max(4, par // 8))
+            df.persist()
+            self._slices[key] = df
+        return self._slices[key]
+
     def close(self) -> None:
         for df in self._tables.values():
             df.unpersist()
+        for df in self._slices.values():
+            df.unpersist()
         self._tables.clear()
+        self._slices.clear()
         self._term_cache.clear()
         self._block_meta.clear()
 
@@ -447,13 +489,13 @@ class Engine:
         if todo:
             from mias_spark.build import N_DICT_BUCKETS
             from mias_spark.hashing import dbucket_py
-            dic = self._table("dictionary")
+            dic = self._base("dictionary")
             if "dbucket" in dic.columns:
                 # pure-Python xxh64 == F.xxhash64 bit-for-bit: the bucket
                 # keys cost zero Spark jobs
                 dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
                                    for f, t in todo})
-                dic = dic.where(F.col("dbucket").isin(dbuckets))
+                dic = self._pruned("dictionary", "dbucket", dbuckets)
             cond = F.concat_ws("\x00", "field", "term").isin(
                 ["\x00".join(p) for p in todo])
             # merge the base + delta dictionary segments for the
@@ -703,9 +745,7 @@ class Engine:
                     f"idf_p={p['idf_p']:.4g} ptf={ptf:.0f} dl={dl:.0f} "
                     f"score={s:.6g}")
         posts = (
-            self._table("postings")
-            .where(F.col("bucket").isin([int(b) for b in
-                                         set(clauses["bucket"])]))
+            self._pruned("postings", "bucket", list(set(clauses["bucket"])))
             .where(F.col("term_id").isin([int(t) for t in
                                           set(clauses["term_id"])]))
             .where(F.col("doc_id").isin(ids))
@@ -743,8 +783,7 @@ class Engine:
     def _phrase_postings(self, tids: list[int]):
         n_buckets = self.n_buckets
         buckets = sorted({t % n_buckets for t in tids})
-        return (self._table("postings")
-                .where(F.col("bucket").isin([int(b) for b in buckets]))
+        return (self._pruned("postings", "bucket", buckets)
                 .where(F.col("term_id").isin([int(t) for t in tids]))
                 .select("term_id", "doc_id", "positions", "dl"))
 
@@ -807,9 +846,7 @@ class Engine:
     def _score_dataframe(self, clauses: pd.DataFrame) -> DataFrame:
         cdf = self.spark.createDataFrame(clauses, CLAUSE_SCHEMA)
         posts = (
-            self._table("postings")
-            .where(F.col("bucket").isin([int(b) for b in
-                                         set(clauses["bucket"])]))
+            self._pruned("postings", "bucket", list(set(clauses["bucket"])))
             .where(F.col("term_id").isin([int(t) for t in
                                           set(clauses["term_id"])]))
             .select("term_id", "doc_id", "tf", "wsum", "dl")
@@ -899,8 +936,7 @@ class Engine:
                               "score": pd.Series(dtype="float64")})
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
-        bdf = (self._table("blocks")
-               .where(F.col("bucket").isin(buckets))
+        bdf = (self._pruned("blocks", "bucket", buckets)
                .where(F.col("term_id").isin(terms)))
         cmap: dict[int, list[tuple[int, float]]] = {}
         for r in clauses.itertuples():
