@@ -52,6 +52,62 @@ def main() -> None:
                      "adjacency verification is native (no Python)",
                      fmt(must)))
 
+    # round-3: the bounded per-term block-metadata reduction (one row
+    # per term back to the driver, window rank + hash agg entirely
+    # Spark-side) and the single-pass df totals (CollectMetrics inside
+    # the top-k job)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    topn = 10
+    terms = [int(t) for t in set(clauses["term_id"])]
+    bdf = (eng._pruned("blocks", "bucket",
+                       list(set(clauses["bucket"])))
+           .where(F.col("term_id").isin(terms)))
+    fresh_df = spark.createDataFrame(
+        clauses[["term_id", "idf", "avgdl"]]
+        .drop_duplicates("term_id")
+        .rename(columns={"idf": "fidf", "avgdl": "favgdl"}),
+        "term_id long, fidf double, favgdl double")
+    idf_scale = (F.col("fidf")
+                 / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
+    ratio = (F.col("favgdl")
+             / F.greatest(F.coalesce("avgdl0", "favgdl"), F.lit(1e-12)))
+    src = (bdf.join(F.broadcast(fresh_df), "term_id")
+           .select("term_id", "n_docs", "first_doc", "last_doc",
+                   (F.col("max_score") * idf_scale
+                    * F.greatest(ratio, F.lit(1.0))).alias("adj_ub"),
+                   (F.col("max_score") * idf_scale
+                    * F.least(ratio, F.lit(1.0))).alias("adj_lb")))
+    w = Window.partitionBy("term_id").orderBy(F.desc("adj_lb"))
+    meta = (src.withColumn("rn", F.row_number().over(w))
+            .groupBy("term_id")
+            .agg(F.max("adj_ub").alias("ubm"),
+                 F.count(F.lit(1)).alias("nb"),
+                 F.sum("n_docs").alias("npost"),
+                 F.min("first_doc").alias("blo"),
+                 F.max("last_doc").alias("bhi"),
+                 F.max(F.when(F.col("rn") == topn, F.col("adj_lb")))
+                 .alias("lbn")))
+    sections.append((
+        "Bounded block-metadata reduction (blocks mode, driver side)",
+        "ONE row per query term reaches the driver regardless of df: "
+        "the window rank picks the topn-th rescaled lower bound (the "
+        "only order statistic theta needs), the hash agg folds the "
+        "rest; binary block columns are never read (ReadSchema is "
+        "metadata-only)", fmt(meta)))
+
+    from pyspark.sql import Observation
+    obs = Observation()
+    agg = (eng._score_dataframe(clauses)
+           .groupBy("doc_id").agg(F.sum("score").alias("score")))
+    observed = agg.observe(obs, F.count(F.lit(1)).alias("n"))
+    top = (observed.orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+    sections.append((
+        "Single-pass exact totals (df mode)",
+        "the CollectMetrics node counts conjunction-surviving rows "
+        "while TakeOrderedAndProject consumes them — Q10 totals cost "
+        "zero extra jobs or scans", fmt(top)))
+
     sections.append(("Bucketed ANN (24-table sign-LSH)",
                      "one scan + explode builds all tables; candidates "
                      "come from a (table, bucket) equi-join — no "
