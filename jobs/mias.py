@@ -6,6 +6,7 @@ Settings.java:35-74).
     python jobs/mias.py -conf mias.properties -delete <path-prefix>
     python jobs/mias.py -conf mias.properties -deleteindex
     python jobs/mias.py -conf mias.properties -optimize
+    python jobs/mias.py -conf mias.properties -compact
     python jobs/mias.py -conf mias.properties -stats
     python jobs/mias.py -conf mias.properties -indocprocess <corpus.parquet> <out.parquet>
     python jobs/mias.py -conf mias.properties -search "<query>"
@@ -70,6 +71,9 @@ def main(argv: list[str]) -> int:
     elif verb == "-optimize":      # S8
         from mias_spark.ops import optimize
         print(json.dumps(optimize(spark, conf.index_dir)))
+    elif verb == "-compact":       # S8 bounded (our merge-policy mode)
+        from mias_spark.ops import compact_until_clean
+        print(json.dumps(compact_until_clean(spark, conf.index_dir)))
     elif verb == "-stats":         # S9
         from mias_spark.build import index_stats
         from mias_spark.catalog import Catalog

@@ -554,6 +554,24 @@ def compact_step(spark: SparkSession, index_dir: str,
     return {"state": "done" if finalized else "pending",
             "buckets": todo, "remaining": len(rest)}
 
+def compact_until_clean(spark: SparkSession, index_dir: str,
+                        max_steps: int | None = None) -> dict:
+    """Drive compact_step to convergence OUT-OF-BAND — the maintenance
+    job a deployment schedules off the write path (cron / streaming
+    maintenance loop) so user upserts only ever pay one bounded step.
+    Stops when the index is clean or after ``max_steps``."""
+    cat = Catalog(spark, index_dir)
+    if max_steps is None:
+        max_steps = 3 * int(cat.props().get("n_buckets", 16))
+    out = {"state": "clean", "steps": 0}
+    for i in range(max_steps):
+        r = compact_step(spark, index_dir)
+        if r["state"] == "clean":
+            return {"state": "clean", "steps": i}
+        out = {"state": r["state"], "steps": i + 1}
+    return out
+
+
 def optimize(spark: SparkSession, index_dir: str) -> dict:
     """S8 optimize / force-merge analog (Indexing.java:167-179; Iceberg
     rewrite_data_files analog): purge tombstoned rows from doc_store and

@@ -692,20 +692,18 @@ class Engine:
         if (with_fields or snippets) and len(hits):
             ids = [int(d) for d in hits["doc_id"]]
             cols = ["doc_id", "id", "repo", "path", "title"]
+            disp_df = (self._table("doc_store")
+                       .where(F.col("doc_id").isin(ids)))
             if snippets:
-                cols += ["content", "lang"]
-            disp = (self._table("doc_store")
-                    .where(F.col("doc_id").isin(ids))
-                    .select(*cols)
-                    .toPandas())
-            hits = hits.merge(disp, on="doc_id", how="left")
-            if snippets:
-                # Q11: driver-side post-processing over the k result
-                # docs only (the reference's snippet thread pool analog,
-                # Searching.java:314-399)
-                from mias_spec.snippets import make_snippet
-                # phrase clauses highlight their contiguous occurrence
-                # as ONE span (they live in q.phrases, not q.clauses)
+                # Q11 runs IN THE EXECUTORS: snippet extraction (XML
+                # parse + highlight per hit doc) rides a mapInPandas
+                # over the doc_store slice, so document content never
+                # reaches the driver and a large result page
+                # parallelizes like any other stage (the reference's
+                # snippet thread pool, Searching.java:314-399,
+                # re-expressed as a Spark stage). Phrase clauses
+                # highlight their contiguous occurrence as ONE span
+                # (they live in q.phrases, not q.clauses).
                 phrase_lists = [tuple(p.terms) for p in q.phrases
                                 if not p.must_not]
                 text_terms = sorted(
@@ -713,10 +711,26 @@ class Engine:
                      if c.fld in ("content", "title")})
                 mterms = {c.term for c in q.clauses
                           if c.fld in ("pmath", "cmath")}
-                hits["snippet"] = [
-                    make_snippet(ct, lg, text_terms, mterms, phrase_lists)
-                    for ct, lg in zip(hits["content"], hits["lang"])]
-                hits = hits.drop(columns=["content", "lang"])
+
+                def snip(batches):
+                    from mias_spec.snippets import make_snippet
+                    for b in batches:
+                        b = b.reset_index(drop=True)
+                        b["snippet"] = [
+                            make_snippet(ct, lg, text_terms, mterms,
+                                         phrase_lists)
+                            for ct, lg in zip(b["content"], b["lang"])]
+                        yield b[cols + ["snippet"]]
+
+                disp = (disp_df.select(*cols, "content", "lang")
+                        .mapInPandas(
+                            snip,
+                            "doc_id long, id string, repo string, "
+                            "path string, title string, snippet string")
+                        .toPandas())
+            else:
+                disp = disp_df.select(*cols).toPandas()
+            hits = hits.merge(disp, on="doc_id", how="left")
         if debug and len(hits):
             hits["explain"] = self._explain(clauses, hits, n_groups, pplan)
         return SearchResult(hits, n_groups, len(clauses), processed,

@@ -239,10 +239,10 @@ def test_auto_compaction_trigger(spark, tmp_path):
     n_buckets = cat2.props()["n_buckets"]
     assert all(len(x["buckets"]) <= max(1, n_buckets // 4)
                for x in steps)
-    # drive the epoch to convergence out-of-band
-    for _ in range(3 * n_buckets):
-        if compact_step(spark, ix)["state"] == "clean":
-            break
+    # drive the epoch to convergence out-of-band (the maintenance-job
+    # API a deployment schedules off the write path)
+    from mias_spark.ops import compact_until_clean
+    assert compact_until_clean(spark, ix)["state"] == "clean"
     cat3 = Engine(spark, ix).cat
     assert cat3.tombstones() is None           # converged: floor re-armed
     assert not cat3.props().get("compact_pending")
