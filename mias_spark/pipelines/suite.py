@@ -755,6 +755,70 @@ def _ivf_sql() -> str:
 ANN_IVF_TOPK_SQL = _ivf_sql()
 
 
+def ann_ivf_lloyd(spark, sf_dir, iters: int = 2):
+    """IVF with Lloyd-refined centroids — the clustered-data scale path
+    (rows-only driver entry; recall is pytest-gated on a clustered
+    fixture, tests/test_suite_ann.py). Starts from the deterministic
+    sampled pivots and runs ``iters`` Lloyd rounds entirely in
+    DataFrame ops: assignment is a broadcast argmax over n_pivots rows,
+    the centroid update is a per-(cell, dim) mean via posexplode with
+    the vector rebuilt by array_sort(collect_list(struct(i, m))) —
+    nothing quadratic, nothing driver-side. Probe + exact verify are
+    the same shape as ann_ivf_topk."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    piv = (emb.where(F.col("vec_id").isin(_ivf_pivot_ids(emb.count())))
+           .select(F.col("vec_id").alias("pid"),
+                   F.col("embedding").cast("array<double>").alias("pe")))
+    dotp = F.expr("aggregate(zip_with(embedding, pe, (x, y) -> "
+                  "cast(x AS double) * cast(y AS double)), 0D, "
+                  "(acc, v) -> acc + v)")
+    npe = F.expr("sqrt(aggregate(pe, 0D, (acc, v) -> "
+                 "acc + cast(v AS double) * cast(v AS double)))")
+    aff = dotp / npe
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("pid"))
+
+    def rank_to(piv_df):
+        return (emb.crossJoin(F.broadcast(piv_df))
+                .select("vec_id", "embedding", "pid", aff.alias("aff"))
+                .withColumn("pr", F.row_number().over(wp)))
+
+    for _ in range(iters):
+        asg_i = (rank_to(piv).where(F.col("pr") == 1)
+                 .select("vec_id", F.col("pid").alias("cell")))
+        piv = (asg_i.join(emb, "vec_id")
+               .select("cell", F.posexplode("embedding").alias("i", "v"))
+               .groupBy("cell", "i").agg(F.avg("v").alias("m"))
+               .groupBy("cell")
+               .agg(F.expr("transform(array_sort(collect_list("
+                           "struct(i, m))), x -> x.m)").alias("pe"))
+               .select(F.col("cell").alias("pid"), "pe"))
+    ranked = rank_to(piv)
+    asg = ranked.where(F.col("pr") == 1).select(
+        "vec_id", F.col("pid").alias("cell"))
+    qprobe = (ranked.where(F.col("vec_id") < _NQ)
+              .where(F.col("pr") <= _IVF_PROBE)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("pid").alias("cell")))
+    cand = (asg.join(qprobe, "cell")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id").distinct())
+    q = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    dot = F.expr("aggregate(zip_with(qe, embedding, (x, y) -> "
+                 "cast(x AS double) * cast(y AS double)), 0D, "
+                 "(acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qe, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    ne = F.expr("sqrt(aggregate(embedding, 0D, (acc, v) -> "
+                "acc + cast(v AS double) * cast(v AS double)))")
+    scored = (cand.join(emb, "vec_id").join(F.broadcast(q), "qid")
+              .select("qid", "vec_id",
+                      F.round(dot / (nq * ne), 4).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
 # ------------------------------------------------------------ text analysis
 
 _LANG_STOPS = {
@@ -1099,6 +1163,7 @@ REGISTRY: dict[str, tuple] = {
     "lsh_cosine_buckets": (lsh_cosine_buckets, LSH_COSINE_BUCKETS_SQL),
     "ann_bucketed_topk": (ann_bucketed_topk, ANN_BUCKETED_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "ann_ivf_lloyd": (ann_ivf_lloyd, None),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),
     "mm_features": (mm_features, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
