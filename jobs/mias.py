@@ -9,6 +9,7 @@ Settings.java:35-74).
     python jobs/mias.py -conf mias.properties -compact
     python jobs/mias.py -conf mias.properties -stats
     python jobs/mias.py -conf mias.properties -indocprocess <corpus.parquet> <out.parquet>
+    python jobs/mias.py -conf mias.properties -mtermreport <corpus.parquet> [top_n]
     python jobs/mias.py -conf mias.properties -search "<query>"
 
 Under spark-submit, ship the packages with --py-files (see
@@ -87,6 +88,15 @@ def main(argv: list[str]) -> int:
                 .withColumn("doc_id", F.monotonically_increasing_id()))
         annotate_mterms(docs).write.mode("overwrite").parquet(rest[1])
         print(json.dumps({"annotated_to": rest[1]}))
+    elif verb == "-mtermreport":   # P8 ranked formula report
+        from pyspark.sql import functions as F
+
+        from mias_spark.ops import mterm_report
+        docs = (spark.read.parquet(rest[0])
+                .withColumn("doc_id", F.monotonically_increasing_id()))
+        top_n = int(rest[1]) if len(rest) > 1 else 50
+        rows = mterm_report(docs, top_n=top_n).collect()
+        print(json.dumps([r.asDict() for r in rows], default=str))
     elif verb == "-search":
         from mias_spark.search import Engine
         eng = Engine(spark, conf.index_dir)

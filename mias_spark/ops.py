@@ -671,3 +671,23 @@ def annotate_mterms(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "content", "lang").mapInPandas(
         fn, ANNOT_SCHEMA)
+
+
+def mterm_report(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """P8 M-term report analog
+    (tools/mias-output-with-printmap-to-report.pl:57-142): the
+    reference post-processes indexing logs into a ranked formula
+    report; here the report is a first-class QUERY over the annotation
+    surface — per M-term document frequency, occurrence count and
+    weight mass, ranked. WindowGroupLimit keeps the global top-n sort
+    partial+final (no single-task full sort)."""
+    from pyspark.sql import Window
+    ann = annotate_mterms(docs)
+    agg = ann.groupBy("mterm").agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.count("*").alias("occurrences"),
+        F.round(F.sum("weight"), 4).alias("weight_sum"))
+    w = Window.orderBy(F.desc("docs"), F.desc("weight_sum"),
+                       F.asc("mterm"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n))

@@ -1,0 +1,70 @@
+"""S2 zip-archive expansion — FileExtDocumentHandler.java:44-63 +
+ZipEntryDocument.java, re-expressed for a binary-blob corpus table.
+
+The reference walks a directory tree and, for ``.zip`` files, emits one
+logical document per non-directory archive entry, re-deriving the
+extension per entry with a ``#``-suffix rule (an entry named
+``doc.xhtml#frag`` has extension ``xhtml``: the fragment marker only
+truncates when it FOLLOWS the last dot). Here archives arrive as rows
+``(repo, path, commit, blob)`` of a DataFrame and expand in the
+EXECUTORS via an Arrow ``mapInPandas`` — the driver never touches
+archive bytes, and the output is ordinary corpus rows ready for
+``build_index`` / ``upsert``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+CORPUS_SCHEMA = ("repo string, path string, commit string, lang string, "
+                 "content string")
+
+#: extension -> analyzer lang (mirrors the corpus generator's mapping;
+#: unknown extensions pass through so the extension dispatch in
+#: mias_spec.document decides)
+EXT_LANG = {"xhtml": "xhtml", "html": "xhtml", "md": "markdown",
+            "py": "python", "txt": "text"}
+
+
+def entry_ext(name: str) -> str:
+    """Extension of a zip entry name under the reference's '#' rule
+    (FileExtDocumentHandler.java:54-57): chars after the last '.' up to
+    the last '#' — unless that '#' precedes the dot, in which case to
+    the end of the name."""
+    dot = name.rfind(".")
+    if dot < 0:
+        return ""
+    hashp = name.rfind("#")
+    end = hashp if hashp > dot else len(name)
+    return name[dot + 1:end]
+
+
+def expand_zip_corpus(zips: DataFrame) -> DataFrame:
+    """``(repo, path, commit, blob)`` archive rows -> corpus rows, one
+    per non-directory entry; entry docs inherit (repo, commit) and get
+    ``<zip path>#<entry name>`` as their path (a stable unique doc
+    key, like the reference's zip-entry document naming)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+        for pdf in batches:
+            rows = []
+            for repo, path, commit, blob in zip(
+                    pdf["repo"], pdf["path"], pdf["commit"], pdf["blob"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        name = info.filename
+                        ext = entry_ext(name)
+                        content = zf.read(info).decode("utf-8", "replace")
+                        rows.append((repo, f"{path}#{name}", commit,
+                                     EXT_LANG.get(ext, ext), content))
+            yield pd.DataFrame(rows, columns=[
+                "repo", "path", "commit", "lang", "content"])
+
+    return zips.mapInPandas(fn, CORPUS_SCHEMA)
