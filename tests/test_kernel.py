@@ -176,3 +176,55 @@ def test_conjunctive_dynamic_theta_skips_and_rank_identity():
     assert np.allclose(
         hits2["score"],
         [_bm25(eg2[d]) + _bm25(big2[d]) for d in exp], atol=1e-12)
+
+
+def test_kernel_property_random_vs_bruteforce():
+    """Property test over the WHOLE kernel surface: random group
+    structures, tf profiles, top-n sizes and tombstone sets — the
+    kernel (range pruning + progressive refinement + single-group AND
+    conjunctive dynamic theta + dead mask) must always equal brute-force
+    BM25 with conjunction semantics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc_tf_s = st.dictionaries(st.integers(0, 1500), st.integers(1, 30),
+                               min_size=1, max_size=250)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        ngroups = data.draw(st.integers(1, 3))
+        n_top = data.draw(st.integers(1, 8))
+        groups = [data.draw(doc_tf_s) for _ in range(ngroups)]
+        dead = data.draw(st.sets(st.integers(0, 1500), max_size=40))
+        frames, cmap = [], {}
+        for g, doc_tf in enumerate(groups):
+            frames.append(_mk_term_blocks(g + 1, doc_tf))
+            cmap[g + 1] = [(g, 1.0)]
+        # engine-side parameter derivation (search._topk_blocks)
+        gpost = {g: len(groups[g]) for g in range(ngroups)}
+        eg = min(gpost, key=lambda g: (gpost[g], g))
+        gm = 1 << max(ngroups.bit_length(), 1)
+        params = (cmap, ngroups, n_top, 0, 10_000, 1, gm, eg, False)
+        dead_l = np.array(sorted(dead), dtype=np.int64)
+        out = kernel_core(pd.concat(frames, ignore_index=True), params,
+                          dead_l if len(dead_l) else None)
+        # the kernel emits the shard-local top-n UNSORTED; the driver
+        # merge applies the (score desc, doc asc) order — do the same
+        hits = (out[out["doc_id"] >= 0]
+                .sort_values(["score", "doc_id"],
+                             ascending=[False, True]))
+        # brute force: conjunction over live docs
+        common = set(groups[0])
+        for g in groups[1:]:
+            common &= set(g)
+        common -= dead
+        exp = sorted(common,
+                     key=lambda d: (-sum(_bm25(g[d]) for g in groups), d))
+        exp = exp[:n_top]
+        assert [int(d) for d in hits["doc_id"]] == exp
+        assert np.allclose(
+            hits["score"],
+            [sum(_bm25(g[d]) for g in groups) for d in exp], atol=1e-9)
+
+    run()
