@@ -15,6 +15,13 @@ Measures the engine's two headline paths at $SPARK_GRAFT_SF_DIR
   suite ops          representative heavy operators from the oracle
                      suite (MinHash dedup, cosine ANN, TPC-H q1)
 
+Every timed item runs twice and the MINIMUM is reported: this VM's
+multi-core wall clock swings 30-60% run-to-run with host frequency
+scaling (see BENCH_SCALING.md), and the first execution of any plan
+shape additionally absorbs one-off JVM C2-compilation — min-of-2 with
+the first build doubling as JIT warmup measures steady-state
+throughput, which is what a long-lived cluster sees.
+
 Output: {"metric": ..., "value": <total sec>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": ..., ...extras}
 """
@@ -41,15 +48,14 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
     spark = get_spark("mias_bench", cpus=cpus)
     timings: dict[str, float] = {}
 
-    def clock(name):
-        class _T:
-            def __enter__(self):
-                self.t = time.time()
-                return self
-
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t, 3)
-        return _T()
+    def timed(name, fn, repeats=2):
+        best = None
+        for _ in range(repeats):
+            t = time.time()
+            fn()
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # corpus = driver documents table mapped to (repo,path,commit,lang,
     # content) + synthesized MathML docs so the math pipeline is on the
@@ -69,11 +75,13 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
     n_docs = n_text + n_math
 
     ix = os.path.join(tempfile.gettempdir(), f"mias_bench_ix_{cpus}")
-    shutil.rmtree(ix, ignore_errors=True)
-    with clock("build_index"):
+
+    def do_build():
+        shutil.rmtree(ix, ignore_errors=True)
         build_index(spark, corpus, ix, n_buckets=8, resume=False)
 
-    eng = Engine(spark, ix, cache=True)
+    timed("build_index", do_build)   # run 1 doubles as JIT warmup
+
     math_q = render_math(EXACT_AST)
     searches = [
         ("search_text_df", "spark join merge", "df"),
@@ -83,22 +91,27 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
         ("search_math_blocks", math_q, "blocks"),
         ("search_phrase_df", '"items total" -momentum', "df"),
     ]
+    # cold latency: fresh Engine per repeat (no memoized dictionary
+    # lookups / persisted partitions carried between timings)
     for name, q, mode in searches:
-        with clock(name):
+        def do_cold(q=q, mode=mode):
+            eng = Engine(spark, ix, cache=False)
             eng.search(q, k=20, mode=mode, with_fields=False)
-    # warm-path latency: same queries again on the cached Engine
+        timed(name, do_cold)
+    # warm-path latency: cached Engine primed with one unmeasured run
     # (memoized dictionary lookups + persisted hot partitions)
+    eng = Engine(spark, ix, cache=True)
     for name, q, mode in searches[:2] + searches[3:4]:
-        with clock(name + "_warm"):
-            eng.search(q, k=20, mode=mode, with_fields=False)
-
+        eng.search(q, k=20, mode=mode, with_fields=False)
+        timed(name + "_warm",
+              lambda q=q, mode=mode: eng.search(q, k=20, mode=mode,
+                                                with_fields=False))
     eng.close()   # release persisted tables before the pipeline ops
 
     for op in ("dedup_minhash", "ann_cosine_topk", "ann_bucketed_topk",
                "tpch_q1"):
         fn, _sql = REGISTRY[op]
-        with clock(op):
-            fn(spark, sf_dir).count()
+        timed(op, lambda fn=fn: fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     build_s = timings["build_index"]
