@@ -32,6 +32,12 @@ from mias_spec.constants import BM25_B, BM25_K1
 from mias_spec.queries import compile_query
 from mias_spec.scoring import idf as idf_fn
 
+#: target decoded postings per kernel shard — small enough that one
+#: task stays in-cache (<10 ms of numpy decode), large enough that task
+#: dispatch + Arrow transfer never dominate; the shard count scales
+#: linearly with query posting volume up to defaultParallelism
+_SHARD_POSTINGS = 1 << 18
+
 CLAUSE_SCHEMA = ("term_id long, grp int, boost double, idf double, "
                  "avgdl double, bucket int")
 
@@ -399,6 +405,14 @@ class Engine:
         #: (term_id, topn|None) -> reduced pruning metadata (ubm, nb,
         #: npost, blo, bhi, lbn) — O(1) per entry, never per-block
         self._block_meta: dict[tuple, tuple] = {}
+        #: prepared blocks-mode plans keyed by (clause set, topn):
+        #: the constructed DataFrame is re-EXECUTED on every hit (this
+        #: is a prepared statement, not a result cache) but the ~0.3 s
+        #: of driver-side plan construction + analysis is paid once per
+        #: query shape. Valid because an Engine pins one snapshot:
+        #: clauses, stats, tombstones are all constants for its
+        #: lifetime. Bounded by distinct query shapes; freed in close()
+        self._plans: dict[tuple, tuple] = {}
         #: metadata rows the last _topk_blocks pulled to the driver
         self.last_meta_rows: int = 0
         #: pruning stats of the most recent completed blocks search
@@ -459,6 +473,7 @@ class Engine:
         self._slices.clear()
         self._term_cache.clear()
         self._block_meta.clear()
+        self._plans.clear()
 
     # ------------------------------------------------------------- compile
     def compile(self, query_text: str, variant: str = "BOTH",
@@ -634,40 +649,50 @@ class Engine:
             # phrase clauses live on the positional postings surface, so
             # a phrase-only query runs this plan in both modes (packed
             # blocks are position-free by design, like Lucene keeping
-            # positions in a separate file from the skip/doc data)
-            parts = []
-            if not clauses.empty:
-                parts.append(self._score_dataframe(clauses))
-            if must_df is not None:
-                parts.append(must_df)
-            scored = parts[0]
-            for p in parts[1:]:
-                scored = scored.unionByName(p)
-            if n_groups == 1:
-                # single MUST group: every matching doc satisfies the
-                # conjunction — the countDistinct (an Expand + second
-                # agg phase) is pure overhead
-                agg = scored.groupBy("doc_id").agg(
-                    F.sum("score").alias("score"))
-            else:
-                agg = (
-                    scored.groupBy("doc_id")
-                    .agg(F.sum("score").alias("score"),
-                         F.countDistinct("grp").alias("_ng"))
-                    .where(F.col("_ng") == n_groups).drop("_ng")
-                )
-            if banned is not None:
-                agg = agg.join(banned, "doc_id", "leftanti")
-            # tombstones must also gate PHRASE matches: term scores are
-            # filtered inside _score_dataframe, but phrase frames read
-            # postings raw (delete is metadata-only — dead rows remain),
-            # so a phrase-only query would resurrect deleted docs here
-            tomb = self.cat.tombstones()
-            if tomb is not None:
-                # no broadcast hint: at 10^10 tombstones a forced
-                # broadcast OOMs the driver — AQE picks the strategy
-                # (blocks mode co-groups them for the same reason)
-                agg = agg.join(tomb, "doc_id", "leftanti")
+            # positions in a separate file from the skip/doc data).
+            # The aggregated scoring plan is memoized per processed
+            # query (prepared statement: every input — clauses, phrase
+            # frames, tombstones — is a constant of the pinned
+            # snapshot); each call still runs a fresh job.
+            dkey = ("df", processed, variant) if self._cache else None
+            agg = self._plans.get(dkey) if dkey else None
+            if agg is None:
+                parts = []
+                if not clauses.empty:
+                    parts.append(self._score_dataframe(clauses))
+                if must_df is not None:
+                    parts.append(must_df)
+                scored = parts[0]
+                for p in parts[1:]:
+                    scored = scored.unionByName(p)
+                if n_groups == 1:
+                    # single MUST group: every matching doc satisfies
+                    # the conjunction — the countDistinct (an Expand +
+                    # second agg phase) is pure overhead
+                    agg = scored.groupBy("doc_id").agg(
+                        F.sum("score").alias("score"))
+                else:
+                    agg = (
+                        scored.groupBy("doc_id")
+                        .agg(F.sum("score").alias("score"),
+                             F.countDistinct("grp").alias("_ng"))
+                        .where(F.col("_ng") == n_groups).drop("_ng")
+                    )
+                if banned is not None:
+                    agg = agg.join(banned, "doc_id", "leftanti")
+                # tombstones must also gate PHRASE matches: term scores
+                # are filtered inside _score_dataframe, but phrase
+                # frames read postings raw (delete is metadata-only —
+                # dead rows remain), so a phrase-only query would
+                # resurrect deleted docs here
+                tomb = self.cat.tombstones()
+                if tomb is not None:
+                    # no broadcast hint: at 10^10 tombstones a forced
+                    # broadcast OOMs the driver — AQE picks the
+                    # strategy (blocks mode co-groups for same reason)
+                    agg = agg.join(tomb, "doc_id", "leftanti")
+                if dkey:
+                    self._plans[dkey] = agg
             # Q10 total hits in the SAME job as the top-k: an
             # Observation (CollectMetrics node) counts the rows flowing
             # out of the conjunction filter while TakeOrderedAndProject
@@ -948,6 +973,23 @@ class Engine:
                                   "theta": 0.0, "n_shards": 0}
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
+        # prepared-plan hit: re-execute the stored plan (fresh job, no
+        # plan construction). allow/banned plans are query-derived too,
+        # but their frames are rebuilt per call — keep the memo to the
+        # common no-phrase case
+        pkey = None
+        if self._cache and allow_df is None and banned_df is None:
+            pkey = (tuple(sorted(
+                (int(r.term_id), int(r.grp), float(r.boost))
+                for r in clauses.itertuples())), topn, n_groups)
+            hit = self._plans.get(pkey)
+            if hit is not None:
+                plan, pparams, ptheta, pshards, kind = hit
+                self.last_meta_rows = 0
+                allpdf = (kernel_core(plan.toPandas(), pparams, None)
+                          if kind == "driver" else plan.toPandas())
+                return self._finish_blocks(allpdf, topn, ptheta,
+                                           n_groups, pshards)
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
         bdf = (self._pruned("blocks", "bucket", buckets)
@@ -1094,9 +1136,18 @@ class Engine:
                           & (F.col("first_doc") <= F.col("rhi")))
                    .drop("rlo", "rhi"))
 
-        # ---- doc-range sharding: each block joins every shard it spans
+        # ---- doc-range sharding: each block joins every shard it spans.
+        # Shard count adapts to the actual posting volume (known driver-
+        # side from the per-term metadata): a few-thousand-posting query
+        # runs 1-2 tasks instead of paying 32 Python-worker round-trips,
+        # while a hot term at 10^10 postings saturates the cluster
+        # (capped at defaultParallelism). Any shard count is correct —
+        # shards emit local top-n + an exact-count sentinel and the
+        # driver merges.
         span = max(hi - lo + 1, 1)
-        n_shards = max(self.spark.sparkContext.defaultParallelism, 1)
+        total_npost = sum(int(r["npost"]) for r in mrows)
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        n_shards = max(1, min(par, -(-total_npost // _SHARD_POSTINGS)))
         # integer DIV on both sides (Catalyst + numpy) — double floor()
         # drifts at 10^12-doc scale
         s_of = lambda c: F.expr(  # noqa: E731
@@ -1114,11 +1165,30 @@ class Engine:
         gmax = int(clauses["grp"].max()) + 1
         gmult = 1 << max(gmax.bit_length(), 1)
         has_allow = n_pgroups > 0
-        bc = self.spark.sparkContext.broadcast(
-            (cmap, n_groups, topn, lo, span, n_shards, gmult, eg,
-             has_allow))
+        params = (cmap, n_groups, topn, lo, span, n_shards, gmult, eg,
+                  has_allow)
         out_schema = ("doc_id long, score double, n_hits long, "
                       "n_skipped long, n_lossy long")
+
+        if n_shards == 1 and tomb is None and banned_df is None \
+                and not has_allow:
+            # single-shard short-circuit: the whole query fits one
+            # kernel invocation (≤ _SHARD_POSTINGS postings, known
+            # BEFORE launching anything), so collect the few compressed
+            # block rows and run the SAME kernel in the driver process
+            # — one Arrow collect, no exchange, no Python-runner stage.
+            # This is Lucene's single-node execution path verbatim; the
+            # distributed plan below engages exactly when the posting
+            # volume would not fit one task.
+            if pkey is not None:
+                self._plans[pkey] = (withmeta, params, theta, n_shards,
+                                     "driver")
+            pdf_blocks = withmeta.toPandas()
+            allpdf = kernel_core(pdf_blocks, params, None)
+            return self._finish_blocks(allpdf, topn, theta, n_groups,
+                                       n_shards)
+
+        bc = self.spark.sparkContext.broadcast(params)
 
         def core(pdf, dead_l, allow_docs=None, allow_ps=None):
             return kernel_core(pdf, bc.value, dead_l, allow_docs,
@@ -1173,7 +1243,17 @@ class Engine:
             local = (withmeta.repartition(n_shards, "shard")
                      .mapInPandas(kernel, out_schema))
 
+        if pkey is not None:
+            self._plans[pkey] = (local, None, theta, n_shards, "dist")
         allpdf = local.toPandas()
+        return self._finish_blocks(allpdf, topn, theta, n_groups,
+                                   n_shards)
+
+    def _finish_blocks(self, allpdf: pd.DataFrame, topn: int,
+                       theta: float, n_groups: int, n_shards: int
+                       ) -> tuple[pd.DataFrame, int, str]:
+        """Merge kernel output rows (shard-local top-n + sentinels)
+        into (hits, total_hits, relation) and record blocks stats."""
         sent = allpdf[allpdf["doc_id"] < 0]
         hits = (allpdf[allpdf["doc_id"] >= 0]
                 .sort_values(["score", "doc_id"], ascending=[False, True])

@@ -293,10 +293,15 @@ def test_total_hits_vs_oracle(spark, tiny_build):
             assert len(r_bl.hits) <= r_bl.total_hits <= len(full), qt
 
 
-def test_conjunctive_kernel_pruning(spark, tiny_build):
+def test_conjunctive_kernel_pruning(spark, tiny_build, monkeypatch):
     """Conjunctions prune inside the kernel (essential-group candidate
     ranges): blocks are skipped WITHOUT decoding, results stay
-    rank-identical to the df plan and the oracle."""
+    rank-identical to the df plan and the oracle. Forces the
+    distributed sharded path (the tiny corpus would otherwise take the
+    single-shard short-circuit, where one shard spans every candidate
+    range and nothing can be range-skipped)."""
+    import mias_spark.search as S
+    monkeypatch.setattr(S, "_SHARD_POSTINGS", 8)
     c, cat, oidx, ix = tiny_build
     eng = Engine(spark, ix)
     q = "energy einstein"
@@ -453,5 +458,50 @@ def test_block_meta_driver_rows_bounded(spark, tmp_path):
         assert len(meta) == 6               # scalars only
         warm.search("zebraqq", k=topn, mode="blocks", with_fields=False)
         assert warm.last_meta_rows == 0     # repeat term: zero jobs
+    finally:
+        warm.close()
+
+
+def test_driver_kernel_short_circuit_and_prepared_plans(
+        spark, tiny_build, monkeypatch):
+    """Small queries (total postings <= one shard's worth, no
+    tombstones/phrase frames) run the SAME block kernel driver-side on
+    the collected block rows — n_shards == 1 — and must be
+    rank-identical to the distributed path (forced here by shrinking
+    _SHARD_POSTINGS). With cache=True the constructed plan memoizes per
+    (clause set, topn): a repeat query re-executes the job without
+    rebuilding the plan."""
+    import mias_spark.search as S
+    c, cat, oidx, ix = tiny_build
+    qt = "energy einstein"
+
+    eng = Engine(spark, ix)
+    r_small = eng.search(qt, k=8, mode="blocks", with_fields=False)
+    assert eng.last_blocks_stats["n_shards"] == 1   # short-circuit
+
+    monkeypatch.setattr(S, "_SHARD_POSTINGS", 8)    # force distributed
+    eng2 = Engine(spark, ix)
+    r_dist = eng2.search(qt, k=8, mode="blocks", with_fields=False)
+    assert eng2.last_blocks_stats["n_shards"] > 1
+    assert [int(d) for d in r_dist.hits["doc_id"]] == \
+        [int(d) for d in r_small.hits["doc_id"]]
+    assert np.allclose(r_dist.hits["score"].astype(float),
+                       r_small.hits["score"].astype(float), atol=1e-9)
+    assert r_dist.total_hits == r_small.total_hits
+    monkeypatch.undo()
+
+    warm = Engine(spark, ix, cache=True)
+    try:
+        a = warm.search(qt, k=8, mode="blocks", with_fields=False)
+        assert len(warm._plans) == 1                # plan memoized
+        b = warm.search(qt, k=8, mode="blocks", with_fields=False)
+        assert len(warm._plans) == 1                # hit, not a new entry
+        assert [int(d) for d in b.hits["doc_id"]] == \
+            [int(d) for d in a.hits["doc_id"]]
+        assert b.total_hits == a.total_hits
+        # df-mode plans memoize under a distinct key
+        warm.search(qt, k=8, mode="df", with_fields=False)
+        warm.search(qt, k=8, mode="df", with_fields=False)
+        assert len(warm._plans) == 2
     finally:
         warm.close()
