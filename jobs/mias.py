@@ -10,7 +10,7 @@ Settings.java:35-74).
     python jobs/mias.py -conf mias.properties -stats
     python jobs/mias.py -conf mias.properties -indocprocess <corpus.parquet> <out.parquet>
     python jobs/mias.py -conf mias.properties -mtermreport <corpus.parquet> [top_n]
-    python jobs/mias.py -conf mias.properties -search "<query>"
+    python jobs/mias.py -conf mias.properties -search "<query>" [-page]
 
 Under spark-submit, ship the packages with --py-files (see
 jobs/build_index.py header).
@@ -100,14 +100,45 @@ def main(argv: list[str]) -> int:
     elif verb == "-search":
         from mias_spark.search import Engine
         eng = Engine(spark, conf.index_dir)
-        res = eng.search(rest[0], k=min(conf.max_results, 30),
-                         snippets=True)
-        print(json.dumps({
-            "processed_query": res.processed_query,
-            "total_hits": res.total_hits,
-            "total_hits_relation": res.total_hits_relation,
-            "hits": res.hits.to_dict(orient="records"),
-        }, default=str))
+        if "-page" in rest:
+            # Q13 interactive pager (Searching.java:413-459): fetch up
+            # to MAXRESULTS once, print 30 hits/page, prompt y/n
+            res = eng.search(rest[0], k=conf.max_results, snippets=True)
+            print(f"Total hits: {res.total_hits}"
+                  + ("+" if res.total_hits_relation == "gte" else ""))
+            if not len(res.hits):
+                print("-------------\nNothing found\n-------------")
+            hits = res.hits.to_dict(orient="records")
+            hits_pp, start = 30, 0
+            while start < len(hits):
+                end = min(start + hits_pp, len(hits))
+                for h in hits[start:end]:
+                    title = h.get("title") or ""
+                    if len(title) > 60:
+                        title = title[:60] + " ..."
+                    if title:
+                        print(title)
+                    print(f"id: {h.get('id')}")
+                    print(f"Path: {h.get('path')}")
+                    print(f"Snippet: {h.get('snippet')}")
+                    print("-" * 52)
+                print(f"Showing results {start + 1}-{end}")
+                if end == len(hits):
+                    break
+                print("Show next page?(y/n)")
+                s = sys.stdin.readline()
+                if not s or not s.strip() or s.strip()[0] == "n":
+                    break
+                start += hits_pp
+        else:
+            res = eng.search(rest[0], k=min(conf.max_results, 30),
+                             snippets=True)
+            print(json.dumps({
+                "processed_query": res.processed_query,
+                "total_hits": res.total_hits,
+                "total_hits_relation": res.total_hits_relation,
+                "hits": res.hits.to_dict(orient="records"),
+            }, default=str))
     else:
         print(__doc__)
         return 2

@@ -411,8 +411,10 @@ class Engine:
         #: of driver-side plan construction + analysis is paid once per
         #: query shape. Valid because an Engine pins one snapshot:
         #: clauses, stats, tombstones are all constants for its
-        #: lifetime. Bounded by distinct query shapes; freed in close()
+        #: lifetime. LRU-capped so an adversarial stream of distinct
+        #: query shapes cannot grow driver memory; freed in close()
         self._plans: dict[tuple, tuple] = {}
+        self._plans_cap = 256
         #: metadata rows the last _topk_blocks pulled to the driver
         self.last_meta_rows: int = 0
         #: pruning stats of the most recent completed blocks search
@@ -440,6 +442,19 @@ class Engine:
         if name not in self._bases:
             self._bases[name] = self.cat.read(name)
         return self._bases[name]
+
+    def _plan_get(self, key):
+        v = self._plans.get(key)
+        if v is not None:          # refresh LRU recency
+            self._plans.pop(key)
+            self._plans[key] = v
+        return v
+
+    def _plan_put(self, key, value) -> None:
+        self._plans.pop(key, None)
+        self._plans[key] = value   # dict preserves insertion order
+        while len(self._plans) > self._plans_cap:
+            self._plans.pop(next(iter(self._plans)))
 
     def _pruned(self, name: str, part_col: str,
                 values: list[int]) -> DataFrame:
@@ -488,8 +503,8 @@ class Engine:
                  "impossible": False}
         if not q.clauses and not q.phrases and not q.prohibited:
             return pd.DataFrame(columns=[
-                "term_id", "grp", "boost", "idf", "avgdl", "bucket"]), \
-                pplan, 0, "", q
+                "term_id", "grp", "boost", "idf", "avgdl", "bucket",
+                "df"]), pplan, 0, "", q
         pairs = sorted({(c.fld, c.term) for c in q.clauses}
                        | {(p.fld, t) for p in q.phrases for t in p.terms}
                        | {(c.fld, c.term) for c in q.prohibited})
@@ -538,9 +553,10 @@ class Engine:
             st = self.field_stats[c.fld]
             rows.append((int(tid), c.group, float(c.boost),
                          idf_fn(int(st["n_docs"]), int(df)),
-                         float(st["avgdl"]), int(tid % self.n_buckets)))
+                         float(st["avgdl"]), int(tid % self.n_buckets),
+                         int(df)))
         clauses = pd.DataFrame(rows, columns=[
-            "term_id", "grp", "boost", "idf", "avgdl", "bucket"])
+            "term_id", "grp", "boost", "idf", "avgdl", "bucket", "df"])
         # ---- phrase plan: term_ids + driver-computed scoring constants
         # (idf_p = sum of constituent idfs, w = the field weight the
         # index carries on every text posting — PhraseClause spec)
@@ -655,7 +671,7 @@ class Engine:
             # frames, tombstones — is a constant of the pinned
             # snapshot); each call still runs a fresh job.
             dkey = ("df", processed, variant) if self._cache else None
-            agg = self._plans.get(dkey) if dkey else None
+            agg = self._plan_get(dkey) if dkey else None
             if agg is None:
                 parts = []
                 if not clauses.empty:
@@ -692,7 +708,7 @@ class Engine:
                     # strategy (blocks mode co-groups for same reason)
                     agg = agg.join(tomb, "doc_id", "leftanti")
                 if dkey:
-                    self._plans[dkey] = agg
+                    self._plan_put(dkey, agg)
             # Q10 total hits in the SAME job as the top-k: an
             # Observation (CollectMetrics node) counts the rows flowing
             # out of the conjunction filter while TakeOrderedAndProject
@@ -883,7 +899,9 @@ class Engine:
 
     # ---------------------------------------------------- DataFrame scorer
     def _score_dataframe(self, clauses: pd.DataFrame) -> DataFrame:
-        cdf = self.spark.createDataFrame(clauses, CLAUSE_SCHEMA)
+        cdf = self.spark.createDataFrame(
+            clauses[["term_id", "grp", "boost", "idf", "avgdl",
+                     "bucket"]], CLAUSE_SCHEMA)
         posts = (
             self._pruned("postings", "bucket", list(set(clauses["bucket"])))
             .where(F.col("term_id").isin([int(t) for t in
@@ -982,8 +1000,14 @@ class Engine:
             pkey = (tuple(sorted(
                 (int(r.term_id), int(r.grp), float(r.boost))
                 for r in clauses.itertuples())), topn, n_groups)
-            hit = self._plans.get(pkey)
+            hit = self._plan_get(pkey)
             if hit is not None:
+                if hit[-1] == "fast":
+                    bdf_m, cl_m, cmap_m, mb_m, _ = hit
+                    res = self._topk_blocks_local(
+                        bdf_m, cl_m, cmap_m, mb_m, topn, n_groups, None)
+                    self.last_meta_rows = 0   # metadata came from memo
+                    return res
                 plan, pparams, ptheta, pshards, kind = hit
                 self.last_meta_rows = 0
                 allpdf = (kernel_core(plan.toPandas(), pparams, None)
@@ -1018,6 +1042,20 @@ class Engine:
             if c not in bdf.columns:
                 bdf = bdf.withColumn(c, F.lit(None).cast("double"))
         tomb = self.cat.tombstones()
+        # ---- small-query fast path: the dictionary df already bounds
+        # the posting volume, so when the whole query fits one shard
+        # (and no tombstone/phrase/ban frames are in play) ONE job
+        # collects the block rows — metadata reduction, theta, range
+        # filters and the kernel all run driver-side on that frame.
+        # Cold interactive searches drop from 3 sequential jobs
+        # (dictionary, metadata agg, kernel) to 2.
+        df_total = (int(clauses.drop_duplicates("term_id")["df"].sum())
+                    if "df" in clauses.columns and len(clauses) else None)
+        if (df_total is not None and df_total <= _SHARD_POSTINGS
+                and tomb is None and banned_df is None
+                and n_pgroups == 0):
+            return self._topk_blocks_local(bdf, clauses, cmap, max_boost,
+                                           topn, n_groups, pkey)
         # a tombstoned/banned doc may be the block-max achiever, so the
         # floor is only a valid lower bound on a CLEAN unfiltered
         # single-term-group query; `optimize` restores pruning after
@@ -1181,8 +1219,8 @@ class Engine:
             # distributed plan below engages exactly when the posting
             # volume would not fit one task.
             if pkey is not None:
-                self._plans[pkey] = (withmeta, params, theta, n_shards,
-                                     "driver")
+                self._plan_put(pkey, (withmeta, params, theta,
+                                      n_shards, "driver"))
             pdf_blocks = withmeta.toPandas()
             allpdf = kernel_core(pdf_blocks, params, None)
             return self._finish_blocks(allpdf, topn, theta, n_groups,
@@ -1244,10 +1282,106 @@ class Engine:
                      .mapInPandas(kernel, out_schema))
 
         if pkey is not None:
-            self._plans[pkey] = (local, None, theta, n_shards, "dist")
+            self._plan_put(pkey, (local, None, theta, n_shards,
+                                  "dist"))
         allpdf = local.toPandas()
         return self._finish_blocks(allpdf, topn, theta, n_groups,
                                    n_shards)
+
+    def _topk_blocks_local(self, bdf: DataFrame, clauses: pd.DataFrame,
+                           cmap: dict, max_boost: dict, topn: int,
+                           n_groups: int, pkey
+                           ) -> tuple[pd.DataFrame, int, str]:
+        """Driver-side mirror of the _topk_blocks pruning pipeline for
+        queries whose dictionary df already bounds the posting volume
+        to one shard's worth: ONE job collects the few compressed block
+        rows, then metadata reduction, the theta floor, conjunctive
+        range filters and the kernel all run on the local frame.
+        Semantics are identical to the distributed path — pinned by the
+        forced-distributed comparison in
+        test_driver_kernel_short_circuit_and_prepared_plans."""
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        pdfb = bdf.toPandas()
+        if pkey is not None:
+            self._plan_put(pkey, (bdf, clauses, cmap, max_boost,
+                                  "fast"))
+        if not len(pdfb):
+            self.last_meta_rows = 0
+            return empty, 0, "eq"
+        imap = {int(r.term_id): (float(r.idf), float(r.avgdl))
+                for r in clauses.drop_duplicates("term_id").itertuples()}
+        tid = pdfb["term_id"].astype("int64")
+        fidf = tid.map(lambda t: imap[t][0])
+        favg = tid.map(lambda t: imap[t][1])
+        i0 = pdfb["idf0"].astype(float).fillna(fidf)
+        a0 = pdfb["avgdl0"].astype(float).fillna(favg)
+        scale = fidf / np.maximum(i0, 1e-12)
+        ratio = favg / np.maximum(a0, 1e-12)
+        ms = pdfb["max_score"].astype(float)
+        pdfb = pdfb.assign(idf=fidf, avgdl=favg,
+                           _ub=ms * scale * np.maximum(ratio, 1.0),
+                           _lb=ms * scale * np.minimum(ratio, 1.0))
+        # per-term reduced metadata — the same (ubm, nb, npost, blo,
+        # bhi, lbn) tuple the distributed agg returns, cached alike
+        meta: dict[int, tuple] = {}
+        for t, g in pdfb.groupby("term_id"):
+            t = int(t)
+            nb = len(g)
+            lbs = np.sort(g["_lb"].to_numpy())[::-1]
+            lbn = float(lbs[topn - 1]) if nb >= topn else None
+            meta[t] = (float(g["_ub"].max()), nb,
+                       int(g["n_docs"].sum()),
+                       int(g["first_doc"].min()),
+                       int(g["last_doc"].max()), lbn)
+        self.last_meta_rows = len(meta)
+        if self._cache:
+            ckey = topn if n_groups == 1 else None
+            for t, v in meta.items():
+                self._block_meta[(t, ckey)] = v
+        lo = min(v[3] for v in meta.values())
+        hi = max(v[4] for v in meta.values())
+        theta = 0.0
+        if n_groups == 1:
+            for t, v in meta.items():
+                if v[1] >= topn and v[5] is not None:
+                    theta = max(theta, v[5] * max_boost[t])
+        ub = {t: v[0] * max_boost[t] for t, v in meta.items()}
+        sum_ub = sum(ub.values())
+        keep = np.ones(len(pdfb), bool)
+        if theta > 0.0:
+            rest = tid.map(lambda t: sum_ub - ub[t])
+            mb = tid.map(lambda t: max_boost[t])
+            keep &= (mb * pdfb["_ub"] + rest >= theta).to_numpy()
+        eg = -1
+        if n_groups > 1:
+            glo: dict[int, int] = {}
+            ghi: dict[int, int] = {}
+            gpost: dict[int, int] = {}
+            for t, v in meta.items():
+                for g2, _ in cmap[t]:
+                    glo[g2] = min(glo.get(g2, v[3]), v[3])
+                    ghi[g2] = max(ghi.get(g2, v[4]), v[4])
+                    gpost[g2] = gpost.get(g2, 0) + v[2]
+            eg = min(gpost, key=lambda g2: (gpost[g2], g2))
+            rlo_m: dict[int, int] = {}
+            rhi_m: dict[int, int] = {}
+            for t in meta:
+                gs = {g2 for g2, _ in cmap[t]}
+                others = [g2 for g2 in glo if g2 not in gs]
+                rlo_m[t] = max((glo[g2] for g2 in others), default=lo)
+                rhi_m[t] = min((ghi[g2] for g2 in others), default=hi)
+            keep &= ((pdfb["last_doc"].astype("int64")
+                      >= tid.map(rlo_m)).to_numpy()
+                     & (pdfb["first_doc"].astype("int64")
+                        <= tid.map(rhi_m)).to_numpy())
+        pdfb = pdfb[keep].assign(shard=0)
+        span = max(hi - lo + 1, 1)
+        gmax = int(clauses["grp"].max()) + 1
+        gmult = 1 << max(gmax.bit_length(), 1)
+        params = (cmap, n_groups, topn, lo, span, 1, gmult, eg, False)
+        allpdf = kernel_core(pdfb, params, None)
+        return self._finish_blocks(allpdf, topn, theta, n_groups, 1)
 
     def _finish_blocks(self, allpdf: pd.DataFrame, topn: int,
                        theta: float, n_groups: int, n_shards: int
