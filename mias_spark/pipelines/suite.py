@@ -349,12 +349,24 @@ def dedup_minhash(spark, sf_dir):
                        F.sum(F.when(F.col("rnk") > _BAND_CAP, 1)
                              .otherwise(0)).alias("dropped_members")))
     capped = ranked.where(F.col("rnk") <= _BAND_CAP).drop("rnk")
-    a, b = capped.alias("a"), capped.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
+    # pair generation WITHOUT a self-join: same measured cost as the
+    # join shape at sf0.1 (the signature pipeline dominates either
+    # way), but this does not depend on ReuseExchange recognizing the
+    # two join sides as identical — AQE re-optimization can break that
+    # and silently double the heavy signature computation. Bucket
+    # members collect into a sorted array — bounded by the cap applied
+    # ABOVE, so no degenerate-bucket OOM — and pairs expand with array
+    # transforms; the groupBy reuses the window's (band, key) hash
+    # partitioning (no extra shuffle).
+    grouped = (capped.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+    return (pairs.groupBy(F.col("p.doc_a").alias("doc_a"),
+                          F.col("p.doc_b").alias("doc_b"))
             .agg(F.count("*").alias("n_bands")))
 
 

@@ -256,6 +256,34 @@ def test_randomized_query_fuzz_rank_identity(spark, tiny_build):
                 (q[:60], mode)
 
 
+def test_randomized_query_fuzz_distributed_blocks(spark, tiny_build,
+                                                  monkeypatch):
+    """Same deterministic fuzz, blocks mode FORCED onto the distributed
+    sharded path (on the tiny fixture every query would otherwise take
+    the single-shard fast path, leaving the sharded kernel + theta
+    pushdown + range filters fuzz-untested)."""
+    import numpy as np
+    import mias_spark.search as S
+    from mias_spec import corpus as C
+    monkeypatch.setattr(S, "_SHARD_POSTINGS", 8)
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    rng = np.random.default_rng(99)
+    vocab = C.VOCAB
+    queries = [" ".join(vocab[int(rng.integers(0, len(vocab)))]
+                        for _ in range(1 + int(rng.integers(0, 3))))
+               for _ in range(8)]
+    queries.append(C.render_math(C.random_ast(7, 1)))
+    for q in queries:
+        exp = O.search(oidx, q, "BOTH", 10)
+        got = eng.search(q, k=10, mode="blocks", with_fields=False)
+        assert eng.last_blocks_stats["n_shards"] >= 1
+        assert [int(d) for d in got.hits["doc_id"]] == \
+            [int(d) for d in exp["doc_id"]], q[:60]
+        assert np.allclose(got.hits["score"].astype(float),
+                           exp["score"].astype(float), atol=1e-6), q[:60]
+
+
 def test_python_xxh64_matches_spark(spark):
     """hashing.dbucket_py must agree with the build-side F.xxhash64
     expression for every dictionary partition decision."""
