@@ -546,8 +546,16 @@ def compact_step(spark: SparkSession, index_dir: str,
         else:
             cat.clear_tombstones()
         maybe_fold_dictionary(cat, max_segments=1)
+        # persist the cleared epoch BEFORE dropping its snapshot: a
+        # crash between the two would otherwise leave compact_pending
+        # non-empty with the snapshot gone, wedging every later
+        # upsert/delete (each calls maybe_compact -> read of the
+        # missing table). With this order a crash merely re-finalizes
+        # an epoch whose anti-joins are no-ops.
+        cat.set_props(compact_pending=rest)
         cat.drop("_compact_epoch_tomb")
-    cat.set_props(compact_pending=rest)
+    if not finalized:
+        cat.set_props(compact_pending=rest)
     cat.metric("compact_step", buckets=[int(b) for b in todo],
                remaining=len(rest), finalized=finalized,
                secs=time.time() - ts)

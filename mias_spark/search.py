@@ -213,6 +213,19 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
                             * sum(b for _, b in pair[1]))
                 rows_g = sorted(rows_g, key=lambda p: -_ub(p))
                 ubs = [_ub(p) for p in rows_g]
+                # per-term slack: a doc in one block can ALSO receive
+                # contributions from the group's OTHER terms (each doc
+                # appears in at most one block per term, so its own
+                # term adds only this block's bound). Skipping on
+                # maxp + block_ub alone dropped true top-n docs when
+                # the last group had several terms — every bare text
+                # term expands to content+title ids in one group, so
+                # multi-term groups are the norm, not the edge.
+                ubmax_g: dict[int, float] = {}
+                for (row_u, _e), u in zip(rows_g, ubs):
+                    t_u = int(row_u.term_id)
+                    ubmax_g[t_u] = max(ubmax_g.get(t_u, 0.0), u)
+                tot_g = sum(ubmax_g.values())
                 comp_tot = np.empty(0)
             seen_parts = []
             for ri, (row, entries) in enumerate(rows_g):
@@ -225,7 +238,8 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
                     li = np.searchsorted(pdocs, row.first_doc)
                     hi = np.searchsorted(pdocs, row.last_doc, "right")
                     maxp = psum[li:hi].max() if hi > li else 0.0
-                    if maxp + ubs[ri] < theta_c:
+                    slack = tot_g - ubmax_g[int(row.term_id)]
+                    if maxp + ubs[ri] + slack < theta_c:
                         n_skipped += 1
                         n_lossy += 1   # may drop true matches: gte
                         continue
@@ -415,6 +429,10 @@ class Engine:
         #: query shapes cannot grow driver memory; freed in close()
         self._plans: dict[tuple, tuple] = {}
         self._plans_cap = 256
+        #: persisted bucket-set slices are far heavier than plans —
+        #: LRU-capped in _pruned (eviction unpersists; a memoized plan
+        #: over an evicted slice stays correct, it just re-reads files)
+        self._slices_cap = 64
         #: metadata rows the last _topk_blocks pulled to the driver
         self.last_meta_rows: int = 0
         #: pruning stats of the most recent completed blocks search
@@ -472,12 +490,19 @@ class Engine:
         if not self._cache:
             return pruned
         key = (name, vals)
-        if key not in self._slices:
+        hit = self._slices.pop(key, None)
+        if hit is None:
             par = self.spark.sparkContext.defaultParallelism
-            df = pruned.coalesce(max(4, par // 8))
-            df.persist()
-            self._slices[key] = df
-        return self._slices[key]
+            hit = pruned.coalesce(max(4, par // 8))
+            hit.persist()
+        self._slices[key] = hit     # (re)insert = LRU refresh
+        # cap the persisted working set: distinct bucket sets are
+        # query-shaped and unbounded under an adversarial stream (the
+        # same reason _plans is capped) — evict + unpersist the
+        # least-recently-used slice beyond the cap
+        while len(self._slices) > self._slices_cap:
+            self._slices.pop(next(iter(self._slices))).unpersist()
+        return hit
 
     def close(self) -> None:
         for df in self._tables.values():

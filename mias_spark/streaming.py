@@ -62,12 +62,29 @@ def _split_late(cat, batch, allowed_lateness_s: float):
             j.where(~is_late).drop("_maxts"))
 
 
+#: fold _stream_versions after this many delta appends — bounds the
+#: table (and _split_late's per-batch scan) to ~the tracked key set
+#: plus one fold-window of deltas, never the full ingest history
+_VERSIONS_FOLD = 16
+
+
 def _record_versions(cat, rows) -> None:
     from pyspark.sql import functions as F
     seen = (rows.where(F.col("commit_ts").isNotNull())
             .select("repo", "path", F.col("commit_ts").alias("ts")))
-    if seen.take(1):
-        cat.append(seen, "_stream_versions")
+    if not seen.take(1):
+        return
+    cat.append(seen, "_stream_versions")
+    # bounded history: same policy as the dictionary's segment fold.
+    # A checkpoint replay may append the same rows twice — harmless,
+    # the semantics are max-at-read and the fold dedupes.
+    n = int(cat.props().get("stream_version_appends", 0)) + 1
+    if n >= _VERSIONS_FOLD:
+        folded = (cat.read("_stream_versions")
+                  .groupBy("repo", "path").agg(F.max("ts").alias("ts")))
+        cat.overwrite(folded, "_stream_versions")
+        n = 0
+    cat.set_props(stream_version_appends=n)
 
 
 def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
@@ -108,32 +125,51 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
             return
         w = Window.partitionBy("repo", "path", "commit").orderBy(
             F.desc("content"))
+        # persist the deduped batch: everything downstream (late
+        # split, dead-letter append, upsert's internal actions,
+        # version recording) re-executes its lineage per action — one
+        # persist evaluates the source read + dedup shuffle once
         batch = (batch.withColumn("_rn", F.row_number().over(w))
-                 .where(F.col("_rn") == 1).drop("_rn"))
-        # route on build COMPLETENESS, not manifest existence: a crash
-        # mid-bootstrap leaves a partial manifest, and build_index is
-        # resumable — the checkpointed replay of the same batch then
-        # finishes the build instead of wedging every retry in upsert()
-        from mias_spark.build import build_index
-        from mias_spark.catalog import Catalog
-        cat = Catalog(batch.sparkSession, index_dir)
-        if not cat.table_done("blocks"):
-            # bootstrap: nothing is indexed yet, nothing can be late
-            build_index(batch.sparkSession, batch.drop("commit_ts"),
-                        index_dir, n_buckets=n_buckets)
-            _record_versions(cat, batch)
-            return
-        late, ontime = _split_late(cat, batch, allowed_lateness_s)
-        if late is not None and late.take(1):
-            cat.append(
-                late.withColumn("batch_id", F.lit(int(batch_id)))
-                    .withColumn("reason", F.lit("late_commit_ts"))
-                    .withColumn("dead_ts", F.current_timestamp()),
-                "_stream_dead_letter")
-        if ontime.take(1):
-            upsert(batch.sparkSession, index_dir,
-                   ontime.drop("commit_ts"))
-            _record_versions(cat, ontime)
+                 .where(F.col("_rn") == 1).drop("_rn")).persist()
+        try:
+            # route on build COMPLETENESS, not manifest existence: a
+            # crash mid-bootstrap leaves a partial manifest, and
+            # build_index is resumable — the checkpointed replay of
+            # the same batch then finishes the build instead of
+            # wedging every retry in upsert()
+            from mias_spark.build import build_index
+            from mias_spark.catalog import Catalog
+            cat = Catalog(batch.sparkSession, index_dir)
+            if not cat.table_done("blocks"):
+                # bootstrap: nothing indexed yet, nothing can be late
+                build_index(batch.sparkSession, batch.drop("commit_ts"),
+                            index_dir, n_buckets=n_buckets)
+                _record_versions(cat, batch)
+                return
+            late, ontime = _split_late(cat, batch, allowed_lateness_s)
+            if late is not None and late.take(1):
+                # replay-idempotent: Spark replays a failed micro-batch
+                # under the SAME batch_id, so an existing batch_id in
+                # the dead-letter table means this append already
+                # committed before the crash
+                replayed = (cat.has_table("_stream_dead_letter")
+                            and cat.read("_stream_dead_letter")
+                            .where(F.col("batch_id") == int(batch_id))
+                            .take(1))
+                if not replayed:
+                    cat.append(
+                        late.withColumn("batch_id", F.lit(int(batch_id)))
+                            .withColumn("reason",
+                                        F.lit("late_commit_ts"))
+                            .withColumn("dead_ts",
+                                        F.current_timestamp()),
+                        "_stream_dead_letter")
+            if ontime.take(1):
+                upsert(batch.sparkSession, index_dir,
+                       ontime.drop("commit_ts"))
+                _record_versions(cat, ontime)
+        finally:
+            batch.unpersist()
 
     writer = src.writeStream.foreachBatch(apply_batch) \
         .option("checkpointLocation", checkpoint_dir)

@@ -46,7 +46,15 @@ def expand_zip_corpus(zips: DataFrame) -> DataFrame:
     """``(repo, path, commit, blob)`` archive rows -> corpus rows, one
     per non-directory entry; entry docs inherit (repo, commit) and get
     ``<zip path>#<entry name>`` as their path (a stable unique doc
-    key, like the reference's zip-entry document naming)."""
+    key, like the reference's zip-entry document naming).
+
+    Corrupt/truncated archives are SKIPPED, not fatal: one bad blob in
+    a million-archive corpus must not abort the whole build on every
+    task retry (the reference's directory walker likewise skips
+    unreadable files). Skipped archives surface as error rows with
+    ``lang='_zip_error'`` so ingest can count or dead-letter them —
+    callers filter them out of the corpus (build's tokenizer would
+    otherwise index the error string)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -55,15 +63,21 @@ def expand_zip_corpus(zips: DataFrame) -> DataFrame:
             rows = []
             for repo, path, commit, blob in zip(
                     pdf["repo"], pdf["path"], pdf["commit"], pdf["blob"]):
-                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
-                    for info in zf.infolist():
-                        if info.is_dir():
-                            continue
-                        name = info.filename
-                        ext = entry_ext(name)
-                        content = zf.read(info).decode("utf-8", "replace")
-                        rows.append((repo, f"{path}#{name}", commit,
-                                     EXT_LANG.get(ext, ext), content))
+                try:
+                    with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            name = info.filename
+                            ext = entry_ext(name)
+                            content = zf.read(info).decode(
+                                "utf-8", "replace")
+                            rows.append((repo, f"{path}#{name}", commit,
+                                         EXT_LANG.get(ext, ext), content))
+                except (zipfile.BadZipFile, zipfile.LargeZipFile,
+                        OSError, ValueError) as e:
+                    rows.append((repo, path, commit, "_zip_error",
+                                 f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=[
                 "repo", "path", "commit", "lang", "content"])
 

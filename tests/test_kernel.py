@@ -228,3 +228,26 @@ def test_kernel_property_random_vs_bruteforce():
             [sum(_bm25(g[d]) for g in groups) for d in exp], atol=1e-9)
 
     run()
+
+
+def test_conjunctive_floor_multi_term_last_group_exact():
+    """Regression (round-3 review): the conjunctive dynamic floor must
+    allow for contributions a doc can still receive from the last
+    group's OTHER terms. With the old one-block bound, doc 200 — the
+    true conjunctive top-1 (t1:tf4 + t2:tf1 + t3:tf49) — was skipped
+    as provably-missing after t2's high block filled the floor, and
+    the kernel returned doc 0 instead."""
+    t1 = {d: 5 for d in range(5)}
+    t1[200] = 4
+    t2 = {d: 50 for d in range(128)}
+    t2.update({d: 1 for d in range(128, 300)})
+    t3 = {200: 49}
+    pdf = pd.concat([_mk_blocks(t1, tid=1), _mk_blocks(t2, tid=2),
+                     _mk_blocks(t3, tid=3)], ignore_index=True)
+    cmap = {1: [(0, 1.0)], 2: [(1, 1.0)], 3: [(1, 1.0)]}
+    params = (cmap, 2, 1, 0, 10_000, 1, 4, 0, False)
+    out = kernel_core(pdf, params, None)
+    hits = out[out["doc_id"] >= 0]
+    assert [int(d) for d in hits["doc_id"]] == [200]
+    assert np.allclose(hits["score"].iloc[0],
+                       _bm25(4) + _bm25(1) + _bm25(49), atol=1e-9)

@@ -137,3 +137,31 @@ def test_stream_late_commit_dead_letter(spark, tmp_path):
     # the stale term is unsearchable
     assert len(eng.search("resurrected", k=5,
                           with_fields=False).hits) == 0
+
+
+def test_versions_table_folds_bounded(spark, tiny_build):
+    """_stream_versions must not grow with ingest history: every
+    _VERSIONS_FOLD appends it folds to one row per (repo, path)
+    (round-3 review finding — it previously grew one row per ingested
+    doc forever, and _split_late re-scanned all of it every batch)."""
+    from pyspark.sql import functions as F
+
+    from mias_spark.catalog import Catalog
+    from mias_spark.streaming import _VERSIONS_FOLD, _record_versions
+    c, cat_ix, oidx, ix = tiny_build
+    cat = Catalog(spark, ix)
+    rows = spark.createDataFrame(
+        [("org/r", "a.txt", "c1", "text", "x"),
+         ("org/r", "b.txt", "c1", "text", "y")],
+        "repo string, path string, commit string, lang string, "
+        "content string").withColumn("commit_ts", F.current_timestamp())
+    n_calls = _VERSIONS_FOLD + 4
+    for _ in range(n_calls):
+        _record_versions(cat, rows)
+    n = cat.read("_stream_versions").count()
+    assert n <= 2 * (_VERSIONS_FOLD + 1)   # bounded, not 2 * n_calls
+    assert n < 2 * n_calls
+    # max-at-read semantics intact: one max ts per key
+    agg = (cat.read("_stream_versions")
+           .groupBy("repo", "path").count().count())
+    assert agg == 2

@@ -77,3 +77,26 @@ def test_mterm_report_ranked(spark):
     assert list(rep["docs"]) == sorted(rep["docs"], reverse=True)
     assert {"mterm", "docs", "occurrences", "weight_sum"} <= set(rep.columns)
     assert (rep["occurrences"] >= rep["docs"]).all()
+
+
+def test_corrupt_zip_skipped_not_fatal(spark):
+    """One truncated blob must not abort the expansion job: the bad
+    archive becomes a single '_zip_error' row and every healthy
+    archive still expands (round-3 review finding)."""
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ok.txt", "healthy entry")
+    good = buf.getvalue()
+    rows = [("org/r", "arch/good.zip", "0" * 40, bytearray(good)),
+            ("org/r", "arch/bad.zip", "0" * 40, bytearray(b"PK\x03\x04trunc")),
+            ("org/r", "arch/notzip.zip", "0" * 40, bytearray(b"plain text"))]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, blob binary")
+    out = expand_zip_corpus(df).toPandas()
+    errs = out[out["lang"] == "_zip_error"]
+    ok = out[out["lang"] != "_zip_error"]
+    assert len(ok) == 1 and ok.iloc[0]["path"] == "arch/good.zip#ok.txt"
+    assert set(errs["path"]) == {"arch/bad.zip", "arch/notzip.zip"}
+    assert errs["content"].str.len().gt(0).all()
