@@ -86,6 +86,18 @@ class Catalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _remember_schema(self, df: DataFrame, table: str) -> None:
+        """Record the table's schema in the manifest so read() can
+        serve an EMPTY typed frame when every partition has been
+        dropped (a bare parquet dir with no files cannot infer one) —
+        a fully-emptied table is a legal state after delete-all +
+        compaction."""
+        m = self.manifest()
+        t = m["tables"].setdefault(table, {})
+        if t.get("schema") != df.schema.jsonValue():
+            t["schema"] = df.schema.jsonValue()
+            self._save(m)
+
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
         if self._iceberg_ns():
@@ -97,6 +109,9 @@ class Catalog:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
             return
+        # parquet binding only: Iceberg reads never need the
+        # empty-table schema fallback (the catalog keeps schemas)
+        self._remember_schema(df, table)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -108,7 +123,17 @@ class Catalog:
         r = self.spark.read
         if merge_schema:
             r = r.option("mergeSchema", "true")
-        return r.parquet(self.path(table))
+        try:
+            return r.parquet(self.path(table))
+        except Exception:
+            # no files left (legal after delete-all + compaction):
+            # serve an empty frame with the remembered schema
+            from pyspark.sql.types import StructType
+            sch = self.manifest()["tables"].get(table, {}).get("schema")
+            if sch is None:
+                raise
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(sch))
 
     def read_dictionary(self) -> DataFrame:
         """Merged dictionary view over the base + appended delta
@@ -136,6 +161,7 @@ class Catalog:
             # Iceberg snapshots make read-while-replace safe natively
             self.write(df, table, partition_by)
             return
+        self._remember_schema(df, table)
         import shutil
         tmp = self.path(f"_{table.replace('/', '_')}_new")
         w = df.write.mode("overwrite")
@@ -168,6 +194,7 @@ class Catalog:
             else:
                 df.writeTo(self._ident(table)).overwritePartitions()
             return
+        self._remember_schema(df, table)
         (df.write.mode("overwrite").partitionBy(*partition_by)
          .parquet(self.path(table)))
 
@@ -183,6 +210,7 @@ class Catalog:
             else:
                 df.writeTo(self._ident(table)).append()
             return
+        self._remember_schema(df, table)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -191,7 +219,8 @@ class Catalog:
     def commit_table(self, table: str, rows: int | None = None, **extra) -> None:
         m = self.manifest()
         m["snapshot"] += 1
-        m["tables"][table] = {"status": "done", "rows": rows,
+        m["tables"][table] = {**m["tables"].get(table, {}),
+                              "status": "done", "rows": rows,
                               "snapshot": m["snapshot"], **extra}
         m.setdefault("lineage", []).append({
             "snapshot": m["snapshot"], "table": table, "rows": rows,
@@ -200,6 +229,26 @@ class Catalog:
 
     def table_done(self, table: str) -> bool:
         return self.manifest()["tables"].get(table, {}).get("status") == "done"
+
+    def drop_partitions(self, table: str, col: str, values: list) -> None:
+        """Remove whole partitions. Dynamic partition overwrite can
+        only REPLACE partitions present in the written frame — it has
+        no way to express 'this partition is now empty', so a cleanup
+        that leaves a partition with zero surviving rows must drop it
+        explicitly or the stale files live on."""
+        if not values:
+            return
+        if self._iceberg_ns():
+            vals = ", ".join(str(int(v)) for v in values)
+            self.spark.sql(f"DELETE FROM {self._ident(table)} "
+                           f"WHERE {col} IN ({vals})")
+        else:
+            import os
+            import shutil
+            for v in values:
+                shutil.rmtree(
+                    os.path.join(self.path(table), f"{col}={int(v)}"),
+                    ignore_errors=True)
 
     def drop(self, table: str) -> None:
         if self._iceberg_ns():

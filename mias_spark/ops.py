@@ -512,6 +512,16 @@ def compact_step(spark: SparkSession, index_dir: str,
         staged.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
               .sortWithinPartitions("term_id", "doc_id"),
         "postings", ["bucket"])
+    # a bucket whose every posting belonged to snapshot-dead docs has
+    # NO rows in the staged frame, so the dynamic overwrite above left
+    # its stale files untouched — once the epoch retires the
+    # tombstones those docs would rise from the dead. Drop such
+    # partitions explicitly (footer-only job: one distinct over the
+    # staged bucket column).
+    surv = {int(r["bucket"])
+            for r in staged.select("bucket").distinct().collect()}
+    gone = [int(b) for b in todo if int(b) not in surv]
+    cat.drop_partitions("postings", "bucket", gone)
     cat.commit_table("postings")
     from mias_spark import blocks as blk
     from mias_spark.build import _salted
@@ -524,7 +534,9 @@ def compact_step(spark: SparkSession, index_dir: str,
               .withColumn("bucket",
                           F.pmod("term_id", F.lit(n_buckets)).cast("int")))
     cat.overwrite_partitions(packed, "blocks", ["bucket"])
+    cat.drop_partitions("blocks", "bucket", gone)
     cat.commit_table("blocks")
+    cat.drop("_staging_compact_posts")   # reclaim the staged slice
 
     finalized = not rest
     if finalized:

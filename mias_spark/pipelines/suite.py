@@ -671,23 +671,24 @@ _IVF_PIVOTS = 16
 _IVF_PROBE = 6
 
 
-def _ivf_pivot_ids(total: int) -> list[int]:
-    import hashlib
-    return sorted({int.from_bytes(
-        hashlib.md5(f"ivf:{j}".encode()).digest()[:4], "big") % total
-        for j in range(_IVF_PIVOTS)})
+def _ivf_pivots(emb):
+    """The _IVF_PIVOTS vectors with the smallest md5('ivf:'||vec_id) —
+    a deterministic hash-sample BOTH engines express natively (hex
+    strings compare identically), derived from the vectors actually
+    present: the Spark fn and the DuckDB oracle agree at ANY fixture
+    size (the old modulus rule embedded pivot ids computed for one
+    pinned row count into the static SQL, silently diverging on any
+    other fixture — round-3 review finding)."""
+    h = F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    return (emb.select(F.col("vec_id").alias("pid"),
+                       F.col("embedding").alias("pe"),
+                       h.alias("_h"))
+            .orderBy("_h", "pid").limit(_IVF_PIVOTS).drop("_h"))
 
 
 def ann_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # pivot modulus derives from the ACTUAL row count (footer-only
-    # count) — a resized fixture shifts the pivot set instead of
-    # silently sampling only a prefix of it. The static DuckDB oracle
-    # below pins total=500, the sf0.01 fixture size the driver's
-    # correctness gate runs at (sf0.01/sf0.001 both have 500 vectors).
-    piv = (emb.where(F.col("vec_id").isin(_ivf_pivot_ids(emb.count())))
-           .select(F.col("vec_id").alias("pid"),
-                   F.col("embedding").alias("pe")))
+    piv = _ivf_pivots(emb)
     dotp = F.expr("aggregate(zip_with(embedding, pe, (x, y) -> "
                   "cast(x AS double) * cast(y AS double)), 0D, "
                   "(acc, v) -> acc + v)")
@@ -725,14 +726,14 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def _ivf_sql() -> str:
-    pvl = ", ".join(map(str, _ivf_pivot_ids(500)))
     cos_qp = (f"(SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) "
               f"FROM generate_series(1, {_DIM}) AS g(i)) "
               f"/ sqrt((SELECT sum(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) "
               f"FROM generate_series(1, {_DIM}) AS g(i)))")
     return f"""
     WITH piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
-                 WHERE vec_id IN ({pvl})),
+                 ORDER BY md5('ivf:' || vec_id), vec_id
+                 LIMIT {_IVF_PIVOTS}),
     ranked AS (
       SELECT e.vec_id, p.pid,
              row_number() OVER (PARTITION BY e.vec_id
@@ -778,9 +779,8 @@ def ann_ivf_lloyd(spark, sf_dir, iters: int = 2):
     nothing quadratic, nothing driver-side. Probe + exact verify are
     the same shape as ann_ivf_topk."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    piv = (emb.where(F.col("vec_id").isin(_ivf_pivot_ids(emb.count())))
-           .select(F.col("vec_id").alias("pid"),
-                   F.col("embedding").cast("array<double>").alias("pe")))
+    piv = _ivf_pivots(emb).withColumn(
+        "pe", F.col("pe").cast("array<double>"))
     dotp = F.expr("aggregate(zip_with(embedding, pe, (x, y) -> "
                   "cast(x AS double) * cast(y AS double)), 0D, "
                   "(acc, v) -> acc + v)")

@@ -385,6 +385,60 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
 
 
 
+def fresh_stats_df(spark, clauses: pd.DataFrame) -> DataFrame:
+    """Tiny broadcast frame of query-fresh per-term stats."""
+    return spark.createDataFrame(
+        clauses[["term_id", "idf", "avgdl"]]
+        .drop_duplicates("term_id")
+        .rename(columns={"idf": "fidf", "avgdl": "favgdl"}),
+        "term_id long, fidf double, favgdl double")
+
+
+def rescaled_bounds():
+    """(adj_ub, adj_lb) column expressions: pack-time block bounds
+    rescaled to CURRENT stats — exact for idf (score linear in idf),
+    conservative for avgdl (ratio clamped toward 1 on the safe side
+    for each bound)."""
+    idf_scale = (F.col("fidf")
+                 / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
+    avgdl_ratio = (F.col("favgdl")
+                   / F.greatest(F.coalesce("avgdl0", "favgdl"),
+                                F.lit(1e-12)))
+    adj_ub = (F.col("max_score") * idf_scale
+              * F.greatest(avgdl_ratio, F.lit(1.0)))
+    adj_lb = (F.col("max_score") * idf_scale
+              * F.least(avgdl_ratio, F.lit(1.0)))
+    return adj_ub, adj_lb
+
+
+def block_meta_reduction(src_bdf: DataFrame, fresh: DataFrame,
+                         topn: int, need_theta: bool) -> DataFrame:
+    """The bounded per-term metadata reduction: ONE row per term back
+    to the driver regardless of block count (window rank for the
+    topn-th lower bound, hash agg for the rest). Module-level and
+    shared with tools/plan_dump so the dumped plan evidence can never
+    drift from what the engine executes."""
+    adj_ub, adj_lb = rescaled_bounds()
+    src = (src_bdf.join(F.broadcast(fresh), "term_id")
+           .select("term_id", "n_docs", "first_doc", "last_doc",
+                   adj_ub.alias("adj_ub"), adj_lb.alias("adj_lb")))
+    if need_theta:
+        from pyspark.sql import Window
+        w = Window.partitionBy("term_id").orderBy(F.desc("adj_lb"))
+        src = src.withColumn("rn", F.row_number().over(w))
+        # null iff the term has < topn blocks (theta ineligible)
+        lbn_agg = F.max(F.when(F.col("rn") == topn, F.col("adj_lb")))
+    else:
+        lbn_agg = F.first(F.lit(None).cast("double"))
+    return src.groupBy("term_id").agg(
+        F.max("adj_ub").alias("ubm"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n_docs").alias("npost"),
+        F.min("first_doc").alias("blo"),
+        F.max("last_doc").alias("bhi"),
+        lbn_agg.alias("lbn"))
+
+
 class Engine:
     """One Engine pins one index snapshot. ``cache=True`` arms the
     interactive-latency path: dictionary lookups memoize driver-side
@@ -659,10 +713,17 @@ class Engine:
                 # propagate instead of masquerading as timeouts. The
                 # fired flag alone races (a genuine failure raising just
                 # as the timer fires would be swallowed), so the
-                # exception must ALSO look like a Spark job cancellation
-                msg = str(e).lower()
-                cancelled = "cancel" in msg or "interrupt" in msg
-                if not (fired.is_set() and cancelled):
+                # exception must ALSO come from the Spark/py4j layer —
+                # a cancelled collect can surface as a job-cancelled
+                # SparkException OR as an Arrow/socket teardown error,
+                # so match the layer, not the message; pure-Python
+                # errors (parser, kernel bugs) always propagate
+                from py4j.protocol import Py4JError
+                from pyspark.errors import PySparkException
+                spark_layer = isinstance(
+                    e, (Py4JError, PySparkException, ConnectionError,
+                        EOFError, OSError))
+                if not (fired.is_set() and spark_layer):
                     raise
                 # 0 is only a LOWER bound on the true hit count
                 # (Lucene's partial-result relation under timeout)
@@ -1087,20 +1148,8 @@ class Engine:
         # deletes
         need_theta = (n_groups == 1 and tomb is None
                       and banned_df is None and n_pgroups == 0)
-        fresh_df = self.spark.createDataFrame(
-            clauses[["term_id", "idf", "avgdl"]]
-            .drop_duplicates("term_id")
-            .rename(columns={"idf": "fidf", "avgdl": "favgdl"}),
-            "term_id long, fidf double, favgdl double")
-        idf_scale = (F.col("fidf")
-                     / F.greatest(F.coalesce("idf0", "fidf"), F.lit(1e-12)))
-        avgdl_ratio = (F.col("favgdl")
-                       / F.greatest(F.coalesce("avgdl0", "favgdl"),
-                                    F.lit(1e-12)))
-        adj_ub = (F.col("max_score") * idf_scale
-                  * F.greatest(avgdl_ratio, F.lit(1.0)))
-        adj_lb = (F.col("max_score") * idf_scale
-                  * F.least(avgdl_ratio, F.lit(1.0)))
+        fresh_df = fresh_stats_df(self.spark, clauses)
+        adj_ub, _adj_lb = rescaled_bounds()
         ckey = topn if need_theta else None
         todo = ([t for t in terms if (t, ckey) not in self._block_meta]
                 if self._cache else terms)
@@ -1108,26 +1157,8 @@ class Engine:
         if todo:
             src = bdf if set(todo) == set(terms) else bdf.where(
                 F.col("term_id").isin(todo))
-            src = (src.join(F.broadcast(fresh_df), "term_id")
-                   .select("term_id", "n_docs", "first_doc", "last_doc",
-                           adj_ub.alias("adj_ub"), adj_lb.alias("adj_lb")))
-            if need_theta:
-                from pyspark.sql import Window
-                w = Window.partitionBy("term_id").orderBy(
-                    F.desc("adj_lb"))
-                src = src.withColumn("rn", F.row_number().over(w))
-                # null iff the term has < topn blocks (theta ineligible)
-                lbn_agg = F.max(F.when(F.col("rn") == topn,
-                                       F.col("adj_lb")))
-            else:
-                lbn_agg = F.first(F.lit(None).cast("double"))
-            rows = src.groupBy("term_id").agg(
-                F.max("adj_ub").alias("ubm"),
-                F.count(F.lit(1)).alias("nb"),
-                F.sum("n_docs").alias("npost"),
-                F.min("first_doc").alias("blo"),
-                F.max("last_doc").alias("bhi"),
-                lbn_agg.alias("lbn")).collect()
+            rows = block_meta_reduction(src, fresh_df, topn,
+                                        need_theta).collect()
             #: driver-received metadata rows this query (test hook:
             #: bounded at one per term regardless of block count)
             self.last_meta_rows = len(rows)

@@ -148,21 +148,29 @@ def stream_upsert(spark: SparkSession, index_dir: str, source_dir: str,
                 return
             late, ontime = _split_late(cat, batch, allowed_lateness_s)
             if late is not None and late.take(1):
-                # replay-idempotent: Spark replays a failed micro-batch
-                # under the SAME batch_id, so an existing batch_id in
-                # the dead-letter table means this append already
-                # committed before the crash
-                replayed = (cat.has_table("_stream_dead_letter")
-                            and cat.read("_stream_dead_letter")
-                            .where(F.col("batch_id") == int(batch_id))
-                            .take(1))
-                if not replayed:
+                # replay-idempotent WITHOUT losing rows across stream
+                # runs: Spark replays a failed micro-batch under the
+                # SAME batch_id, so anti-join the late rows against
+                # rows already dead-lettered under this batch_id — a
+                # replay appends nothing, while a batch_id collision
+                # from a RESTARTED stream (checkpoint reset restarts
+                # ids at 0) still records its genuinely new rows
+                fresh = late.withColumn("batch_id",
+                                        F.lit(int(batch_id)))
+                if cat.has_table("_stream_dead_letter"):
+                    prior = (cat.read("_stream_dead_letter")
+                             .where(F.col("batch_id") == int(batch_id))
+                             .select("repo", "path", "commit",
+                                     "batch_id"))
+                    fresh = fresh.join(
+                        prior, ["repo", "path", "commit", "batch_id"],
+                        "leftanti")
+                if fresh.take(1):
                     cat.append(
-                        late.withColumn("batch_id", F.lit(int(batch_id)))
-                            .withColumn("reason",
-                                        F.lit("late_commit_ts"))
-                            .withColumn("dead_ts",
-                                        F.current_timestamp()),
+                        fresh.withColumn("reason",
+                                         F.lit("late_commit_ts"))
+                             .withColumn("dead_ts",
+                                         F.current_timestamp()),
                         "_stream_dead_letter")
             if ontime.take(1):
                 upsert(batch.sparkSession, index_dir,

@@ -69,7 +69,9 @@ def expand_zip_corpus(zips: DataFrame) -> DataFrame:
                             if info.is_dir():
                                 continue
                             name = info.filename
-                            ext = entry_ext(name)
+                            # case-normalized: DOC.XHTML must route to
+                            # the markup analyzer like doc.xhtml
+                            ext = entry_ext(name).lower()
                             content = zf.read(info).decode(
                                 "utf-8", "replace")
                             rows.append((repo, f"{path}#{name}", commit,

@@ -388,3 +388,44 @@ def test_phrase_snippets_highlight(spark, tiny_build):
     # constituents are NOT separately bolded when only the phrase
     # mentions them
     assert not any("<b>items</b>" in s for s in res.hits["snippet"])
+
+
+def test_delete_all_compact_no_resurrection(spark, tmp_path):
+    """Round-3 review (severe): a bucket whose every posting belongs
+    to snapshot-dead docs has NO rows in the compacted slice, so the
+    dynamic partition overwrite left its stale files in place — once
+    the epoch retired the tombstones the deleted docs came back from
+    the dead. Partitions emptied by compaction must be dropped, and a
+    fully-emptied index must stay readable and re-usable."""
+    import shutil as _sh
+    from mias_spec import corpus as C
+
+    from mias_spark.build import build_index
+    from mias_spark.catalog import Catalog
+    from mias_spark.ops import compact_until_clean, delete_by_path, upsert
+    from mias_spark.search import Engine
+    ix = str(tmp_path / "ixall")
+    _sh.rmtree(ix, ignore_errors=True)
+    build_index(spark, spark.createDataFrame(C.make_corpus(40)), ix,
+                n_buckets=2)
+    assert delete_by_path(spark, ix, "") == 40     # tombstone all
+    out = compact_until_clean(spark, ix)
+    assert out["state"] == "clean"
+    cat = Catalog(spark, ix)
+    assert cat.read("postings").count() == 0
+    assert cat.read("blocks").count() == 0
+    assert cat.read("doc_store").count() == 0
+    assert cat.tombstones() is None
+    eng = Engine(spark, ix)
+    for mode in ("df", "blocks"):
+        r = eng.search("energy", k=5, mode=mode, with_fields=False)
+        assert len(r.hits) == 0 and r.total_hits == 0, mode
+    # staging slice reclaimed
+    import os
+    assert not os.path.exists(os.path.join(ix, "_staging_compact_posts"))
+    # the emptied index accepts new docs and serves them
+    res = upsert(spark, ix, spark.createDataFrame(C.make_corpus(20)))
+    assert res == {"added": 20, "replaced": 0}
+    eng2 = Engine(spark, ix)
+    r = eng2.search("relativity", k=5, mode="df", with_fields=False)
+    assert len(r.hits) > 0
