@@ -48,9 +48,14 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
     spark = get_spark("mias_bench", cpus=cpus)
     timings: dict[str, float] = {}
 
-    def timed(name, fn, repeats=2):
+    def timed(name, fn, repeats=2, pre=None):
+        """``pre`` runs before each repeat OUTSIDE the timed region
+        (e.g. deleting the previous build's index dir — filesystem
+        teardown must not pollute build timings, ADVICE r3)."""
         best = None
         for _ in range(repeats):
+            if pre is not None:
+                pre()
             t = time.time()
             fn()
             dt = time.time() - t
@@ -77,10 +82,11 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
     ix = os.path.join(tempfile.gettempdir(), f"mias_bench_ix_{cpus}")
 
     def do_build():
-        shutil.rmtree(ix, ignore_errors=True)
         build_index(spark, corpus, ix, n_buckets=8, resume=False)
 
-    timed("build_index", do_build)   # run 1 doubles as JIT warmup
+    # run 1 doubles as JIT warmup; prior index deleted outside the timer
+    timed("build_index", do_build,
+          pre=lambda: shutil.rmtree(ix, ignore_errors=True))
 
     math_q = render_math(EXACT_AST)
     searches = [

@@ -100,10 +100,19 @@ def main(argv: list[str]) -> int:
     elif verb == "-search":
         from mias_spark.search import Engine
         eng = Engine(spark, conf.index_dir)
-        if "-page" in rest:
+        # flags are stripped BEFORE taking the query: `-search -page
+        # "q"` must page on q, never search for the literal '-page'
+        # (quote queries that start with '-', e.g. "-momentum energy")
+        flags = [a for a in rest if a.startswith("-")]
+        qargs = [a for a in rest if not a.startswith("-")]
+        if not qargs:
+            print("usage: -search \"<query>\" [-page]")
+            return 2
+        query = qargs[0]
+        if "-page" in flags:
             # Q13 interactive pager (Searching.java:413-459): fetch up
             # to MAXRESULTS once, print 30 hits/page, prompt y/n
-            res = eng.search(rest[0], k=conf.max_results, snippets=True)
+            res = eng.search(query, k=conf.max_results, snippets=True)
             print(f"Total hits: {res.total_hits}"
                   + ("+" if res.total_hits_relation == "gte" else ""))
             if not len(res.hits):
@@ -131,7 +140,7 @@ def main(argv: list[str]) -> int:
                     break
                 start += hits_pp
         else:
-            res = eng.search(rest[0], k=min(conf.max_results, 30),
+            res = eng.search(query, k=min(conf.max_results, 30),
                              snippets=True)
             print(json.dumps({
                 "processed_query": res.processed_query,

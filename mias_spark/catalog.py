@@ -126,14 +126,34 @@ class Catalog:
         try:
             return r.parquet(self.path(table))
         except Exception:
-            # no files left (legal after delete-all + compaction):
-            # serve an empty frame with the remembered schema
+            # The ONLY failure read() may mask is the one legal empty
+            # state — every partition dropped after delete-all +
+            # compaction (a bare dir with no files cannot infer a
+            # schema). Anything else (corrupt footer, permission/FS
+            # error) must propagate: serving an empty frame for a
+            # genuine read failure would feed compaction's anti-joins
+            # an empty table and the following overwrite would wipe it
+            # (ADVICE r3, data-loss class).
+            if self._has_data_files(table):
+                raise
             from pyspark.sql.types import StructType
             sch = self.manifest()["tables"].get(table, {}).get("schema")
             if sch is None:
                 raise
             return self.spark.createDataFrame(
                 [], StructType.fromJson(sch))
+
+    def _has_data_files(self, table: str) -> bool:
+        """True when the table dir holds at least one parquet data file
+        (parquet binding only — the empty-schema fallback is narrowed
+        to genuinely-empty tables)."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        for _d, _s, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read_dictionary(self) -> DataFrame:
         """Merged dictionary view over the base + appended delta

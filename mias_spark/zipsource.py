@@ -42,7 +42,8 @@ def entry_ext(name: str) -> str:
     return name[dot + 1:end]
 
 
-def expand_zip_corpus(zips: DataFrame) -> DataFrame:
+def expand_zip_corpus(zips: DataFrame,
+                      include_errors: bool = False) -> DataFrame:
     """``(repo, path, commit, blob)`` archive rows -> corpus rows, one
     per non-directory entry; entry docs inherit (repo, commit) and get
     ``<zip path>#<entry name>`` as their path (a stable unique doc
@@ -51,10 +52,12 @@ def expand_zip_corpus(zips: DataFrame) -> DataFrame:
     Corrupt/truncated archives are SKIPPED, not fatal: one bad blob in
     a million-archive corpus must not abort the whole build on every
     task retry (the reference's directory walker likewise skips
-    unreadable files). Skipped archives surface as error rows with
-    ``lang='_zip_error'`` so ingest can count or dead-letter them —
-    callers filter them out of the corpus (build's tokenizer would
-    otherwise index the error string)."""
+    unreadable files). Error rows (``lang='_zip_error'``, content =
+    the error string) are FILTERED OUT of the default output so a
+    pipeline feeding this straight into build_index can never index
+    the error strings as documents (ADVICE r3); pass
+    ``include_errors=True`` for the raw surface, or use
+    ``zip_errors`` for the dead-letter side alone."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -83,4 +86,17 @@ def expand_zip_corpus(zips: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[
                 "repo", "path", "commit", "lang", "content"])
 
-    return zips.mapInPandas(fn, CORPUS_SCHEMA)
+    out = zips.mapInPandas(fn, CORPUS_SCHEMA)
+    if include_errors:
+        return out
+    from pyspark.sql import functions as F
+    return out.where(F.col("lang") != "_zip_error")
+
+
+def zip_errors(zips: DataFrame) -> DataFrame:
+    """Dead-letter surface: one row per unreadable archive with the
+    error string in ``content`` — count it, write it to a quarantine
+    table, or alert on it; these rows never reach the corpus."""
+    from pyspark.sql import functions as F
+    return (expand_zip_corpus(zips, include_errors=True)
+            .where(F.col("lang") == "_zip_error"))

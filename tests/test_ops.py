@@ -429,3 +429,35 @@ def test_delete_all_compact_no_resurrection(spark, tmp_path):
     eng2 = Engine(spark, ix)
     r = eng2.search("relativity", k=5, mode="df", with_fields=False)
     assert len(r.hits) > 0
+
+
+def test_catalog_read_masks_only_truly_empty_tables(spark, tmp_path):
+    """ADVICE r4 (medium): the remembered-schema empty-frame fallback
+    must serve ONLY the one legal empty state (all partitions dropped).
+    A genuine read failure over a table that still has data files —
+    e.g. a corrupt footer — must propagate, or compaction's anti-joins
+    would see an empty frame and the following overwrite would wipe
+    the table."""
+    import os
+
+    from mias_spark.catalog import Catalog
+    cat = Catalog(spark, str(tmp_path / "cx"))
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    cat.write(df, "t")
+    # legal empty state: files gone, schema remembered -> empty frame
+    for d, _s, files in os.walk(cat.path("t")):
+        for f in files:
+            os.remove(os.path.join(d, f))
+    assert cat.read("t").count() == 0
+    assert cat.read("t").schema == df.schema
+    # corrupt footer with data files present -> must raise, never an
+    # empty frame
+    cat.write(df, "u")
+    for d, _s, files in os.walk(cat.path("u")):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(d, f), "wb") as fh:
+                    fh.write(b"not parquet at all")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        cat.read("u").count()

@@ -81,10 +81,13 @@ def test_mterm_report_ranked(spark):
 
 def test_corrupt_zip_skipped_not_fatal(spark):
     """One truncated blob must not abort the expansion job: the bad
-    archive becomes a single '_zip_error' row and every healthy
-    archive still expands (round-3 review finding)."""
+    archive is EXCLUDED from the default corpus output (so build_index
+    can never index its error string, ADVICE r3) and surfaces on the
+    zip_errors dead-letter side; every healthy archive still expands."""
     import io
     import zipfile
+
+    from mias_spark.zipsource import zip_errors
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("ok.txt", "healthy entry")
@@ -95,8 +98,8 @@ def test_corrupt_zip_skipped_not_fatal(spark):
     df = spark.createDataFrame(
         rows, "repo string, path string, commit string, blob binary")
     out = expand_zip_corpus(df).toPandas()
-    errs = out[out["lang"] == "_zip_error"]
-    ok = out[out["lang"] != "_zip_error"]
-    assert len(ok) == 1 and ok.iloc[0]["path"] == "arch/good.zip#ok.txt"
+    assert len(out) == 1 and out.iloc[0]["path"] == "arch/good.zip#ok.txt"
+    assert (out["lang"] != "_zip_error").all()
+    errs = zip_errors(df).toPandas()
     assert set(errs["path"]) == {"arch/bad.zip", "arch/notzip.zip"}
     assert errs["content"].str.len().gt(0).all()
