@@ -9,7 +9,8 @@ postings, packed blocks) and run a BM25 top-k search through the engine.
 conjunction + phrase), dedup family (exact / MinHash-LSH / SimHash /
 n-gram Jaccard / embedding-cosine), ANN (brute-force cosine, 24-table
 sign-LSH bucketed, IVF-flat with sampled centroids, Lloyd-refined IVF
-— rows-only, recall pytest-gated on a clustered fixture), text analysis
+with an inlined two-round CTE oracle — recall additionally
+pytest-gated on a clustered fixture), text analysis
 (lang-id / quality / token stats / fingerprinting), multimodal binary
 columns (metadata parse, Arrow feature extraction, frame sampling) and
 relational coverage (TPC-H q1/q3ish, windowed event rollups).

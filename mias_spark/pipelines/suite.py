@@ -768,16 +768,85 @@ def _ivf_sql() -> str:
 ANN_IVF_TOPK_SQL = _ivf_sql()
 
 
+def _ivf_lloyd_sql(iters: int = 2) -> str:
+    """DuckDB oracle for ann_ivf_lloyd: the same ``iters`` Lloyd rounds
+    inlined as CTE pairs (assignment rank -> per-(cell, dim) rounded
+    mean rebuilt into a list) — both engines round affinities to 4
+    decimals and centroid means to 6, so assignments agree exactly."""
+    def cos(pv):
+        return (f"round((SELECT sum(CAST(e.embedding[i] AS DOUBLE) "
+                f"* CAST({pv}.pe[i] AS DOUBLE)) "
+                f"FROM generate_series(1, {_DIM}) AS g(i)) "
+                f"/ sqrt((SELECT sum(CAST({pv}.pe[i] AS DOUBLE) "
+                f"* CAST({pv}.pe[i] AS DOUBLE)) "
+                f"FROM generate_series(1, {_DIM}) AS g(i))), 4)")
+    ctes = [f"piv0 AS (SELECT vec_id AS pid, embedding AS pe "
+            f"FROM embeddings ORDER BY md5('ivf:' || vec_id), vec_id "
+            f"LIMIT {_IVF_PIVOTS})"]
+    for it in range(iters):
+        ctes.append(
+            f"asg{it} AS (SELECT vec_id, pid AS cell FROM ("
+            f"  SELECT e.vec_id, p.pid, row_number() OVER ("
+            f"    PARTITION BY e.vec_id ORDER BY {cos('p')} DESC, p.pid"
+            f"  ) AS pr FROM embeddings e CROSS JOIN piv{it} p"
+            f") WHERE pr = 1)")
+        ctes.append(
+            f"piv{it + 1} AS (SELECT cell AS pid, "
+            f"list(m ORDER BY i) AS pe FROM ("
+            f"  SELECT a.cell, g.i, "
+            f"    round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS m"
+            f"  FROM asg{it} a JOIN embeddings e USING (vec_id)"
+            f"  CROSS JOIN generate_series(1, {_DIM}) AS g(i)"
+            f"  GROUP BY a.cell, g.i) GROUP BY cell)")
+    ctes.append(
+        f"ranked AS (SELECT e.vec_id, p.pid, row_number() OVER ("
+        f"  PARTITION BY e.vec_id ORDER BY {cos('p')} DESC, p.pid"
+        f") AS pr FROM embeddings e CROSS JOIN piv{iters} p)")
+    ctes.append("asg AS (SELECT vec_id, pid AS cell FROM ranked "
+                "WHERE pr = 1)")
+    ctes.append(f"qprobe AS (SELECT vec_id AS qid, pid AS cell "
+                f"FROM ranked WHERE vec_id < {_NQ} "
+                f"AND pr <= {_IVF_PROBE})")
+    ctes.append("cand AS (SELECT DISTINCT qp.qid, a.vec_id "
+                "FROM asg a JOIN qprobe qp ON a.cell = qp.cell "
+                "WHERE a.vec_id <> qp.qid)")
+    ctes.append(f"q AS (SELECT vec_id AS qid, embedding AS qe "
+                f"FROM embeddings WHERE vec_id < {_NQ})")
+    ctes.append(f"""scored AS (
+      SELECT c.qid, c.vec_id,
+             round(
+               (SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                FROM generate_series(1, {_DIM}) AS g(i))
+               / (sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                        FROM generate_series(1, {_DIM}) AS g(i)))
+                  * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                          FROM generate_series(1, {_DIM}) AS g(i)))), 4) AS cosine
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN q ON q.qid = c.qid)""")
+    return ("WITH " + ",\n".join(ctes) + """
+    SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+""")
+
+
+ANN_IVF_LLOYD_SQL = _ivf_lloyd_sql()
+
+
 def ann_ivf_lloyd(spark, sf_dir, iters: int = 2):
     """IVF with Lloyd-refined centroids — the clustered-data scale path
-    (rows-only driver entry; recall is pytest-gated on a clustered
-    fixture, tests/test_suite_ann.py). Starts from the deterministic
-    sampled pivots and runs ``iters`` Lloyd rounds entirely in
-    DataFrame ops: assignment is a broadcast argmax over n_pivots rows,
-    the centroid update is a per-(cell, dim) mean via posexplode with
-    the vector rebuilt by array_sort(collect_list(struct(i, m))) —
-    nothing quadratic, nothing driver-side. Probe + exact verify are
-    the same shape as ann_ivf_topk."""
+    (recall is additionally pytest-gated on a clustered fixture,
+    tests/test_suite_ann.py). Starts from the deterministic sampled
+    pivots and runs ``iters`` Lloyd rounds entirely in DataFrame ops:
+    assignment is a broadcast argmax over n_pivots rows, the centroid
+    update is a per-(cell, dim) mean via posexplode with the vector
+    rebuilt by array_sort(collect_list(struct(i, m))) — nothing
+    quadratic, nothing driver-side. Probe + exact verify are the same
+    shape as ann_ivf_topk. Affinities round to 4 decimals and centroid
+    means to 6 so the DuckDB oracle (two inlined Lloyd CTE rounds,
+    ANN_IVF_LLOYD_SQL) reproduces every assignment bit-for-bit —
+    engine-order float-sum noise sits ~1e-13, far inside the quantum."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     piv = _ivf_pivots(emb).withColumn(
         "pe", F.col("pe").cast("array<double>"))
@@ -786,7 +855,7 @@ def ann_ivf_lloyd(spark, sf_dir, iters: int = 2):
                   "(acc, v) -> acc + v)")
     npe = F.expr("sqrt(aggregate(pe, 0D, (acc, v) -> "
                  "acc + cast(v AS double) * cast(v AS double)))")
-    aff = dotp / npe
+    aff = F.round(dotp / npe, 4)
     wp = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("pid"))
 
     def rank_to(piv_df):
@@ -799,7 +868,8 @@ def ann_ivf_lloyd(spark, sf_dir, iters: int = 2):
                  .select("vec_id", F.col("pid").alias("cell")))
         piv = (asg_i.join(emb, "vec_id")
                .select("cell", F.posexplode("embedding").alias("i", "v"))
-               .groupBy("cell", "i").agg(F.avg("v").alias("m"))
+               .groupBy("cell", "i")
+               .agg(F.round(F.avg("v"), 6).alias("m"))
                .groupBy("cell")
                .agg(F.expr("transform(array_sort(collect_list("
                            "struct(i, m))), x -> x.m)").alias("pe"))
@@ -1175,7 +1245,7 @@ REGISTRY: dict[str, tuple] = {
     "lsh_cosine_buckets": (lsh_cosine_buckets, LSH_COSINE_BUCKETS_SQL),
     "ann_bucketed_topk": (ann_bucketed_topk, ANN_BUCKETED_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
-    "ann_ivf_lloyd": (ann_ivf_lloyd, None),
+    "ann_ivf_lloyd": (ann_ivf_lloyd, ANN_IVF_LLOYD_SQL),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),
     "mm_features": (mm_features, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),

@@ -56,10 +56,11 @@ class SearchResult:
     # GREATER_THAN_OR_EQUAL_TO relation under early termination).
     total_hits: int = 0
     total_hits_relation: str = "eq"   # "eq" | "gte"
-    #: blocks-mode pruning stats for THIS query (skipped_blocks, theta,
-    #: n_shards); None for df-mode. Engine.last_blocks_stats mirrors
-    #: the most recent completed blocks search and is NOT synchronized
-    #: across concurrently-searching threads — prefer this field.
+    #: blocks-mode stats for THIS query — skipped_blocks, lossy_blocks,
+    #: theta, n_shards, meta_rows (metadata rows the driver pulled for
+    #: this call; 0 on a memo hit). None for df-mode. Per-call value:
+    #: concurrent searches on one Engine each get their own (the
+    #: round-3 engine-level mutable mirror fields are gone).
     blocks_stats: dict | None = None
 
 
@@ -487,46 +488,48 @@ class Engine:
         #: LRU-capped in _pruned (eviction unpersists; a memoized plan
         #: over an evicted slice stays correct, it just re-reads files)
         self._slices_cap = 64
-        #: metadata rows the last _topk_blocks pulled to the driver
-        self.last_meta_rows: int = 0
-        #: pruning stats of the most recent completed blocks search
-        #: (see SearchResult.blocks_stats for the per-query value)
-        self.last_blocks_stats: dict = {
-            "skipped_blocks": 0, "lossy_blocks": 0, "theta": 0.0,
-            "n_shards": 0}
+        #: guards the driver-side caches (plans/slices/tables/term/meta)
+        #: under concurrent searches — held only around dict mutation,
+        #: never across a Spark job
+        import threading
+        self._lock = threading.RLock()   # _table -> _base nests
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache:
             return self._base(name)
-        if name not in self._tables:
-            df = self._base(name)
-            # interactive-latency trade: fewer, larger cached partitions
-            # cut per-job scheduling overhead (the warm-path cost is
-            # task dispatch, not compute); throughput scans use
-            # cache=False and keep full scan width
-            par = self.spark.sparkContext.defaultParallelism
-            df = df.coalesce(max(8, par // 4))
-            df.persist()
-            self._tables[name] = df
-        return self._tables[name]
+        with self._lock:
+            if name not in self._tables:
+                df = self._base(name)
+                # interactive-latency trade: fewer, larger cached
+                # partitions cut per-job scheduling overhead (the
+                # warm-path cost is task dispatch, not compute);
+                # throughput scans use cache=False, full scan width
+                par = self.spark.sparkContext.defaultParallelism
+                df = df.coalesce(max(8, par // 4))
+                df.persist()
+                self._tables[name] = df
+            return self._tables[name]
 
     def _base(self, name: str) -> DataFrame:
-        if name not in self._bases:
-            self._bases[name] = self.cat.read(name)
-        return self._bases[name]
+        with self._lock:
+            if name not in self._bases:
+                self._bases[name] = self.cat.read(name)
+            return self._bases[name]
 
     def _plan_get(self, key):
-        v = self._plans.get(key)
-        if v is not None:          # refresh LRU recency
-            self._plans.pop(key)
-            self._plans[key] = v
-        return v
+        with self._lock:
+            v = self._plans.get(key)
+            if v is not None:          # refresh LRU recency
+                self._plans.pop(key, None)
+                self._plans[key] = v
+            return v
 
     def _plan_put(self, key, value) -> None:
-        self._plans.pop(key, None)
-        self._plans[key] = value   # dict preserves insertion order
-        while len(self._plans) > self._plans_cap:
-            self._plans.pop(next(iter(self._plans)))
+        with self._lock:
+            self._plans.pop(key, None)
+            self._plans[key] = value   # dict preserves insertion order
+            while len(self._plans) > self._plans_cap:
+                self._plans.pop(next(iter(self._plans)))
 
     def _pruned(self, name: str, part_col: str,
                 values: list[int]) -> DataFrame:
@@ -544,30 +547,32 @@ class Engine:
         if not self._cache:
             return pruned
         key = (name, vals)
-        hit = self._slices.pop(key, None)
-        if hit is None:
-            par = self.spark.sparkContext.defaultParallelism
-            hit = pruned.coalesce(max(4, par // 8))
-            hit.persist()
-        self._slices[key] = hit     # (re)insert = LRU refresh
-        # cap the persisted working set: distinct bucket sets are
-        # query-shaped and unbounded under an adversarial stream (the
-        # same reason _plans is capped) — evict + unpersist the
-        # least-recently-used slice beyond the cap
-        while len(self._slices) > self._slices_cap:
-            self._slices.pop(next(iter(self._slices))).unpersist()
-        return hit
+        with self._lock:
+            hit = self._slices.pop(key, None)
+            if hit is None:
+                par = self.spark.sparkContext.defaultParallelism
+                hit = pruned.coalesce(max(4, par // 8))
+                hit.persist()
+            self._slices[key] = hit     # (re)insert = LRU refresh
+            # cap the persisted working set: distinct bucket sets are
+            # query-shaped and unbounded under an adversarial stream
+            # (the same reason _plans is capped) — evict + unpersist
+            # the least-recently-used slice beyond the cap
+            while len(self._slices) > self._slices_cap:
+                self._slices.pop(next(iter(self._slices))).unpersist()
+            return hit
 
     def close(self) -> None:
-        for df in self._tables.values():
-            df.unpersist()
-        for df in self._slices.values():
-            df.unpersist()
-        self._tables.clear()
-        self._slices.clear()
-        self._term_cache.clear()
-        self._block_meta.clear()
-        self._plans.clear()
+        with self._lock:
+            for df in self._tables.values():
+                df.unpersist()
+            for df in self._slices.values():
+                df.unpersist()
+            self._tables.clear()
+            self._slices.clear()
+            self._term_cache.clear()
+            self._block_meta.clear()
+            self._plans.clear()
 
     # ------------------------------------------------------------- compile
     def compile(self, query_text: str, variant: str = "BOTH",
@@ -614,8 +619,9 @@ class Engine:
                    .groupBy("field", "term", "term_id")
                    .agg(F.sum("df").alias("df")).collect()}
             if self._cache:
-                for p in todo:
-                    self._term_cache[p] = got.get(p)
+                with self._lock:
+                    for p in todo:
+                        self._term_cache[p] = got.get(p)
         else:
             got = {}
         if self._cache:
@@ -811,9 +817,8 @@ class Engine:
             total_hits, rel = int(obs.get["n"]), "eq"
             bstats = None
         else:
-            pdf, total_hits, rel = self._topk_blocks(
+            pdf, total_hits, rel, bstats = self._topk_blocks(
                 clauses, k + offset, n_groups - n_pg, n_pg, must_df, banned)
-            bstats = self.last_blocks_stats
         hits = pdf.iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
         if (with_fields or snippets) and len(hits):
@@ -1013,9 +1018,11 @@ class Engine:
                      n_groups: int, n_pgroups: int = 0,
                      allow_df: DataFrame | None = None,
                      banned_df: DataFrame | None = None,
-                     ) -> tuple[pd.DataFrame, int, str]:
+                     ) -> tuple[pd.DataFrame, int, str, dict]:
         """Doc-sharded block-max top-k over the packed posting blocks.
-        Returns (hits pandas frame, total_hits, total_hits_relation).
+        Returns (hits pandas frame, total_hits, total_hits_relation,
+        per-call blocks stats) — stats are per-CALL values so
+        concurrent searches on one Engine never cross-talk.
 
         ``n_groups`` here counts TERM groups only; when the query also
         has MUST phrase groups (``n_pgroups`` > 0), ``allow_df``
@@ -1073,8 +1080,6 @@ class Engine:
         doc may fail a multi-group conjunction, so its score is not a
         valid floor there (conjunctions prune via step 4 instead).
         """
-        self.last_blocks_stats = {"skipped_blocks": 0, "lossy_blocks": 0,
-                                  "theta": 0.0, "n_shards": 0}
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         # prepared-plan hit: re-execute the stored plan (fresh job, no
@@ -1090,16 +1095,15 @@ class Engine:
             if hit is not None:
                 if hit[-1] == "fast":
                     bdf_m, cl_m, cmap_m, mb_m, _ = hit
-                    res = self._topk_blocks_local(
-                        bdf_m, cl_m, cmap_m, mb_m, topn, n_groups, None)
-                    self.last_meta_rows = 0   # metadata came from memo
-                    return res
+                    # metadata came from the memo: meta_rows 0
+                    return self._topk_blocks_local(
+                        bdf_m, cl_m, cmap_m, mb_m, topn, n_groups, None,
+                        memo_hit=True)
                 plan, pparams, ptheta, pshards, kind = hit
-                self.last_meta_rows = 0
                 allpdf = (kernel_core(plan.toPandas(), pparams, None)
                           if kind == "driver" else plan.toPandas())
                 return self._finish_blocks(allpdf, topn, ptheta,
-                                           n_groups, pshards)
+                                           n_groups, pshards, 0)
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
         bdf = (self._pruned("blocks", "bucket", buckets)
@@ -1154,24 +1158,24 @@ class Engine:
         todo = ([t for t in terms if (t, ckey) not in self._block_meta]
                 if self._cache else terms)
         raw: dict[int, tuple] = {}
+        meta_rows = 0
         if todo:
             src = bdf if set(todo) == set(terms) else bdf.where(
                 F.col("term_id").isin(todo))
             rows = block_meta_reduction(src, fresh_df, topn,
                                         need_theta).collect()
-            #: driver-received metadata rows this query (test hook:
-            #: bounded at one per term regardless of block count)
-            self.last_meta_rows = len(rows)
+            # driver-received metadata rows this query (test hook:
+            # bounded at one per term regardless of block count)
+            meta_rows = len(rows)
             for r in rows:
                 raw[int(r["term_id"])] = (
                     float(r["ubm"]), int(r["nb"]), int(r["npost"]),
                     int(r["blo"]), int(r["bhi"]),
                     None if r["lbn"] is None else float(r["lbn"]))
             if self._cache:
-                for t, v in raw.items():
-                    self._block_meta[(t, ckey)] = v
-        else:
-            self.last_meta_rows = 0
+                with self._lock:
+                    for t, v in raw.items():
+                        self._block_meta[(t, ckey)] = v
         if self._cache:
             raw = {t: self._block_meta[(t, ckey)] for t in terms
                    if (t, ckey) in self._block_meta}
@@ -1179,7 +1183,9 @@ class Engine:
                   "blo": blo, "bhi": bhi, "lbn": lbn}
                  for t, (ubm, nb, npost, blo, bhi, lbn) in raw.items()]
         if not mrows:
-            return empty, 0, "eq"
+            return empty, 0, "eq", {
+                "skipped_blocks": 0, "lossy_blocks": 0, "theta": 0.0,
+                "n_shards": 0, "meta_rows": meta_rows}
         lo = min(int(r["blo"]) for r in mrows)
         hi = max(int(r["bhi"]) for r in mrows)
         theta = 0.0
@@ -1280,7 +1286,7 @@ class Engine:
             pdf_blocks = withmeta.toPandas()
             allpdf = kernel_core(pdf_blocks, params, None)
             return self._finish_blocks(allpdf, topn, theta, n_groups,
-                                       n_shards)
+                                       n_shards, meta_rows)
 
         bc = self.spark.sparkContext.broadcast(params)
 
@@ -1342,12 +1348,12 @@ class Engine:
                                   "dist"))
         allpdf = local.toPandas()
         return self._finish_blocks(allpdf, topn, theta, n_groups,
-                                   n_shards)
+                                   n_shards, meta_rows)
 
     def _topk_blocks_local(self, bdf: DataFrame, clauses: pd.DataFrame,
                            cmap: dict, max_boost: dict, topn: int,
-                           n_groups: int, pkey
-                           ) -> tuple[pd.DataFrame, int, str]:
+                           n_groups: int, pkey, memo_hit: bool = False
+                           ) -> tuple[pd.DataFrame, int, str, dict]:
         """Driver-side mirror of the _topk_blocks pruning pipeline for
         queries whose dictionary df already bounds the posting volume
         to one shard's worth: ONE job collects the few compressed block
@@ -1363,8 +1369,9 @@ class Engine:
             self._plan_put(pkey, (bdf, clauses, cmap, max_boost,
                                   "fast"))
         if not len(pdfb):
-            self.last_meta_rows = 0
-            return empty, 0, "eq"
+            return empty, 0, "eq", {
+                "skipped_blocks": 0, "lossy_blocks": 0, "theta": 0.0,
+                "n_shards": 0, "meta_rows": 0}
         imap = {int(r.term_id): (float(r.idf), float(r.avgdl))
                 for r in clauses.drop_duplicates("term_id").itertuples()}
         tid = pdfb["term_id"].astype("int64")
@@ -1390,11 +1397,12 @@ class Engine:
                        int(g["n_docs"].sum()),
                        int(g["first_doc"].min()),
                        int(g["last_doc"].max()), lbn)
-        self.last_meta_rows = len(meta)
+        meta_rows = 0 if memo_hit else len(meta)
         if self._cache:
             ckey = topn if n_groups == 1 else None
-            for t, v in meta.items():
-                self._block_meta[(t, ckey)] = v
+            with self._lock:
+                for t, v in meta.items():
+                    self._block_meta[(t, ckey)] = v
         lo = min(v[3] for v in meta.values())
         hi = max(v[4] for v in meta.values())
         theta = 0.0
@@ -1437,29 +1445,31 @@ class Engine:
         gmult = 1 << max(gmax.bit_length(), 1)
         params = (cmap, n_groups, topn, lo, span, 1, gmult, eg, False)
         allpdf = kernel_core(pdfb, params, None)
-        return self._finish_blocks(allpdf, topn, theta, n_groups, 1)
+        return self._finish_blocks(allpdf, topn, theta, n_groups, 1,
+                                   meta_rows)
 
     def _finish_blocks(self, allpdf: pd.DataFrame, topn: int,
-                       theta: float, n_groups: int, n_shards: int
-                       ) -> tuple[pd.DataFrame, int, str]:
+                       theta: float, n_groups: int, n_shards: int,
+                       meta_rows: int
+                       ) -> tuple[pd.DataFrame, int, str, dict]:
         """Merge kernel output rows (shard-local top-n + sentinels)
-        into (hits, total_hits, relation) and record blocks stats."""
+        into (hits, total_hits, relation, per-call stats)."""
         sent = allpdf[allpdf["doc_id"] < 0]
         hits = (allpdf[allpdf["doc_id"] >= 0]
                 .sort_values(["score", "doc_id"], ascending=[False, True])
                 .head(topn)[["doc_id", "score"]].reset_index(drop=True))
         total = int(sent["n_hits"].sum())
-        self.last_blocks_stats = {
+        stats = {
             "skipped_blocks": int(sent["n_skipped"].sum()),
             "lossy_blocks": int(sent["n_lossy"].sum()),
-            "theta": theta, "n_shards": int(n_shards)}
+            "theta": theta, "n_shards": int(n_shards),
+            "meta_rows": int(meta_rows)}
         # totals are a lower bound whenever score-based pruning was
         # active: the driver-side theta filter, the in-kernel dynamic
         # theta (single-group), or the conjunctive dynamic floor
         # (n_lossy sentinels — range skips alone stay exact, they only
         # drop provably non-matching docs)
         lossy = (theta > 0.0
-                 or (n_groups == 1
-                     and self.last_blocks_stats["skipped_blocks"] > 0)
-                 or self.last_blocks_stats["lossy_blocks"] > 0)
-        return hits, total, ("gte" if lossy else "eq")
+                 or (n_groups == 1 and stats["skipped_blocks"] > 0)
+                 or stats["lossy_blocks"] > 0)
+        return hits, total, ("gte" if lossy else "eq"), stats

@@ -277,7 +277,7 @@ def test_randomized_query_fuzz_distributed_blocks(spark, tiny_build,
     for q in queries:
         exp = O.search(oidx, q, "BOTH", 10)
         got = eng.search(q, k=10, mode="blocks", with_fields=False)
-        assert eng.last_blocks_stats["n_shards"] >= 1
+        assert got.blocks_stats["n_shards"] >= 1
         assert [int(d) for d in got.hits["doc_id"]] == \
             [int(d) for d in exp["doc_id"]], q[:60]
         assert np.allclose(got.hits["score"].astype(float),
@@ -335,7 +335,7 @@ def test_conjunctive_kernel_pruning(spark, tiny_build, monkeypatch):
     q = "energy einstein"
     exp = O.search(oidx, q, "BOTH", 10)
     got = eng.search(q, k=10, mode="blocks", with_fields=False)
-    assert eng.last_blocks_stats["skipped_blocks"] > 0
+    assert got.blocks_stats["skipped_blocks"] > 0
     assert [int(d) for d in got.hits["doc_id"]] == \
         [int(d) for d in exp["doc_id"]]
     assert np.allclose(got.hits["score"].astype(float),
@@ -469,14 +469,14 @@ def test_block_meta_driver_rows_bounded(spark, tmp_path):
     topn = 1
     assert nb >= 10 * topn
     r = eng.search("zebraqq", k=topn, mode="blocks", with_fields=False)
-    assert eng.last_meta_rows == 1          # one row per term, not per block
+    assert r.blocks_stats["meta_rows"] == 1   # one row per term, not per block
     r_df = eng.search("zebraqq", k=topn, mode="df", with_fields=False)
     assert [int(d) for d in r.hits["doc_id"]] == \
         [int(d) for d in r_df.hits["doc_id"]]
     assert np.allclose(r.hits["score"].astype(float),
                        r_df.hits["score"].astype(float), atol=1e-12)
     # theta filled from one term's 11 blocks: pruning active, totals gte
-    assert eng.last_blocks_stats["theta"] > 0
+    assert r.blocks_stats["theta"] > 0
     assert r.total_hits <= r_df.total_hits == n
     # warm engine memoizes the reduced tuple, not per-block arrays
     warm = Engine(spark, ix, cache=True)
@@ -484,8 +484,9 @@ def test_block_meta_driver_rows_bounded(spark, tmp_path):
         warm.search("zebraqq", k=topn, mode="blocks", with_fields=False)
         (meta,) = warm._block_meta.values()
         assert len(meta) == 6               # scalars only
-        warm.search("zebraqq", k=topn, mode="blocks", with_fields=False)
-        assert warm.last_meta_rows == 0     # repeat term: zero jobs
+        rw = warm.search("zebraqq", k=topn, mode="blocks",
+                         with_fields=False)
+        assert rw.blocks_stats["meta_rows"] == 0   # repeat term: zero jobs
     finally:
         warm.close()
 
@@ -505,12 +506,12 @@ def test_driver_kernel_short_circuit_and_prepared_plans(
 
     eng = Engine(spark, ix)
     r_small = eng.search(qt, k=8, mode="blocks", with_fields=False)
-    assert eng.last_blocks_stats["n_shards"] == 1   # short-circuit
+    assert r_small.blocks_stats["n_shards"] == 1   # short-circuit
 
     monkeypatch.setattr(S, "_SHARD_POSTINGS", 8)    # force distributed
     eng2 = Engine(spark, ix)
     r_dist = eng2.search(qt, k=8, mode="blocks", with_fields=False)
-    assert eng2.last_blocks_stats["n_shards"] > 1
+    assert r_dist.blocks_stats["n_shards"] > 1
     assert [int(d) for d in r_dist.hits["doc_id"]] == \
         [int(d) for d in r_small.hits["doc_id"]]
     assert np.allclose(r_dist.hits["score"].astype(float),
@@ -533,3 +534,40 @@ def test_driver_kernel_short_circuit_and_prepared_plans(
         assert len(warm._plans) == 2
     finally:
         warm.close()
+
+
+def test_concurrent_searches_isolated_stats(spark, tiny_build):
+    """8 threads hammer ONE cached Engine with distinct queries in both
+    modes: every thread's hits must match the serial result and every
+    SearchResult must carry its own per-call blocks_stats (the round-3
+    engine-level mutable mirror fields are gone — nothing to race on)."""
+    from concurrent.futures import ThreadPoolExecutor
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix, cache=True)
+    jobs = [("energy", "blocks"), ("electron quantum", "blocks"),
+            ("data", "blocks"), ("relativity", "df"),
+            ("momentum conservation", "df"), ("energy", "df"),
+            ("partition weight", "blocks"), ("electron", "blocks")]
+    expected = {}
+    for q, mode in jobs:
+        r = eng.search(q, k=10, mode=mode, with_fields=False)
+        expected[(q, mode)] = ([int(d) for d in r.hits["doc_id"]],
+                               r.total_hits)
+
+    def one(job):
+        q, mode = job
+        r = eng.search(q, k=10, mode=mode, with_fields=False)
+        return job, [int(d) for d in r.hits["doc_id"]], r.total_hits, \
+            r.blocks_stats
+
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for _ in range(3):   # several rounds to shake out races
+                for job, docs, total, bs in ex.map(one, jobs):
+                    assert (docs, total) == expected[job], job
+                    if job[1] == "blocks":
+                        assert bs is not None and bs["n_shards"] >= 1, job
+                    else:
+                        assert bs is None, job
+    finally:
+        eng.close()

@@ -268,7 +268,7 @@ def test_auto_compaction_trigger(spark, tmp_path):
     ref = eng3.search("energy", k=1, mode="df", with_fields=False)
     assert [int(d) for d in got.hits["doc_id"]] == \
         [int(d) for d in ref.hits["doc_id"]]
-    assert eng3.last_blocks_stats["theta"] > 0
+    assert got.blocks_stats["theta"] > 0
 
 
 def test_upsert_is_delta_only(spark, tmp_path):

@@ -63,5 +63,5 @@ def test_blocks_scan_prunes_binary_columns_on_skip(spark, tiny_build):
     c, cat, oidx, ix = tiny_build
     eng = Engine(spark, ix)
     # small k on a multi-block term so theta > 0
-    eng.search("data", k=1, mode="blocks", with_fields=False)
-    assert eng.last_blocks_stats["theta"] > 0
+    r = eng.search("data", k=1, mode="blocks", with_fields=False)
+    assert r.blocks_stats["theta"] > 0
