@@ -375,7 +375,9 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
         tot = tot + allow_ps[ai]
     sentinel.loc[0, "n_hits"] = int(len(ddocs))
     if len(ddocs) > n_top:
-        part = np.lexsort((ddocs, -tot))[:n_top]
+        # shard-local cut on the SAME quantized order key the final
+        # merge and the df plan use (1e-9 ties -> doc_id tiebreak)
+        part = np.lexsort((ddocs, -np.round(tot * 1e9)))[:n_top]
         ddocs, tot = ddocs[part], tot[part]
     return pd.concat([pd.DataFrame({
         "doc_id": ddocs.astype(np.int64), "score": tot,
@@ -812,7 +814,14 @@ class Engine:
             from pyspark.sql import Observation
             obs = Observation()
             observed = agg.observe(obs, F.count(F.lit(1)).alias("n"))
-            pdf = (observed.orderBy(F.desc("score"), F.asc("doc_id"))
+            # the ORDER key (not the score) is quantized to 1e-9 in
+            # BOTH physical plans: the df plan's float-sum order can
+            # differ from the kernel's deterministic term-sorted
+            # accumulation by one ULP, which would swap exactly-tied
+            # neighbors between plans — quantized, ties collapse onto
+            # the doc_id tiebreak identically everywhere
+            okey = F.round(F.col("score") * F.lit(1e9))
+            pdf = (observed.orderBy(okey.desc(), F.asc("doc_id"))
                    .limit(offset + k).toPandas())
             total_hits, rel = int(obs.get["n"]), "eq"
             bstats = None
@@ -1456,7 +1465,9 @@ class Engine:
         into (hits, total_hits, relation, per-call stats)."""
         sent = allpdf[allpdf["doc_id"] < 0]
         hits = (allpdf[allpdf["doc_id"] >= 0]
-                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .assign(_okey=lambda d: np.round(
+                    d["score"].to_numpy(np.float64) * 1e9))
+                .sort_values(["_okey", "doc_id"], ascending=[False, True])
                 .head(topn)[["doc_id", "score"]].reset_index(drop=True))
         total = int(sent["n_hits"].sum())
         stats = {

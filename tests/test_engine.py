@@ -571,3 +571,41 @@ def test_concurrent_searches_isolated_stats(spark, tiny_build):
                         assert bs is None, job
     finally:
         eng.close()
+
+
+def test_cross_plan_tie_determinism(spark, tmp_path):
+    """Engineered exact score ties + ULP-divergent float-sum orders:
+    three-term docs whose per-term contributions are the same multiset
+    summed in different orders give analytically-equal scores that can
+    differ by 1 ULP between the df plan's hash-agg order and the
+    kernel's term-sorted accumulation. The ORDER key is quantized to
+    1e-9 in both plans, so tied neighbors must sort identically
+    (doc_id tiebreak) — the round-3 cross-plan blemish."""
+    import pandas as pd
+
+    from mias_spark.build import build_index
+    patterns = ["aterm aterm bterm cterm", "bterm bterm cterm aterm",
+                "cterm cterm aterm bterm"]
+    rows = []
+    for i in range(48):
+        rows.append(("org/tie", f"docs/t{i:03d}.txt", "0" * 40, "text",
+                     patterns[i % 3]))
+    c = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang",
+                                    "content"])
+    ix = str(tmp_path / "ixtie")
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng = Engine(spark, ix)
+    for q in ("aterm bterm cterm", "aterm", "aterm bterm"):
+        r_df = eng.search(q, k=48, mode="df", with_fields=False)
+        r_bl = eng.search(q, k=48, mode="blocks", with_fields=False)
+        assert [int(d) for d in r_df.hits["doc_id"]] == \
+            [int(d) for d in r_bl.hits["doc_id"]], q
+        assert np.allclose(r_df.hits["score"], r_bl.hits["score"],
+                           atol=1e-9)
+        # exact ties (identical pattern docs) must sort by doc_id
+        sc = r_df.hits["score"].to_numpy()
+        ids = r_df.hits["doc_id"].to_numpy()
+        qk = np.round(sc * 1e9)
+        for v in np.unique(qk):
+            grp = ids[qk == v]
+            assert list(grp) == sorted(grp), (q, v)
