@@ -21,6 +21,14 @@ compression; block-max metadata for WAND-style pruning):
     w_bytes    : binary   float64 LE payload-weight SUMS (wsum; avg =
                           wsum/tf at score time, bit-identical to the
                           DataFrame scorer and the oracle)
+    pos_bytes  : binary   term positions, delta-gap + varint: per doc
+                          the first position is absolute and the rest
+                          are gaps (>= 0 — M-term variants share
+                          positions); per-doc counts are the tfs, so no
+                          extra length prefix is stored. The Lucene
+                          .pos-file analog, packed beside the doc data
+                          so phrase queries run on the block surface
+                          (round-3 VERDICT #1)
 
 Weights themselves were 16-bit-quantized at token emission (codec.py);
 wsum is their exact float64 sum, so no further precision is lost.
@@ -39,7 +47,8 @@ from mias_spec.constants import BLOCK_SIZE, BM25_B, BM25_K1
 BLOCKS_SCHEMA = (
     "term_id long, salt int, block_ord int, n_docs int, first_doc long, "
     "last_doc long, max_score double, idf0 double, avgdl0 double, "
-    "doc_bytes binary, tf_bytes binary, dl_bytes binary, w_bytes binary"
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, w_bytes binary, "
+    "pos_bytes binary"
 )
 
 
@@ -52,7 +61,7 @@ def _bm25_vec(tf: np.ndarray, dl: np.ndarray, idf, avgdl) -> np.ndarray:
 
 _COLS = ["term_id", "salt", "block_ord", "n_docs", "first_doc",
          "last_doc", "max_score", "idf0", "avgdl0", "doc_bytes",
-         "tf_bytes", "dl_bytes", "w_bytes"]
+         "tf_bytes", "dl_bytes", "w_bytes", "pos_bytes"]
 
 
 def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
@@ -66,6 +75,8 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
     salt = g["salt"].to_numpy(np.int64)
     docs = g["doc_id"].to_numpy(np.int64)
     tfs = g["tf"].to_numpy(np.int64)
+    pos_flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in g["positions"]])
     dls = g["dl"].to_numpy(np.int64)
     ws = g["wsum"].to_numpy(np.float64)
     idf = g["idf"].to_numpy(np.float64)
@@ -103,6 +114,19 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
     w_all = ws.astype("<f8").tobytes()
     w_bytes = [w_all[8 * s:8 * e] for s, e in zip(bstart, bend)]
 
+    # per-doc delta-gap positions: absolute at every doc start (no
+    # cross-block or cross-doc dependency), gaps within a doc (>= 0:
+    # unified M-term variants share positions). len(positions) == tf,
+    # so the decoder recovers per-doc runs from tf_bytes alone.
+    pstarts = np.cumsum(tfs) - tfs            # row -> first flat pos
+    pgaps = np.empty(len(pos_flat), dtype=np.int64)
+    pgaps[0] = pos_flat[0]
+    pgaps[1:] = pos_flat[1:] - pos_flat[:-1]
+    pgaps[pstarts] = pos_flat[pstarts]
+    assert (pgaps >= 0).all(), "positions must be non-decreasing per doc"
+    pos_bytes = codec.encode_varints_split(pgaps.astype(np.uint64),
+                                           pstarts[bstart])
+
     return pd.DataFrame({
         "term_id": term[bstart], "salt": salt[bstart].astype(np.int32),
         "block_ord": block_ord.astype(np.int32),
@@ -121,6 +145,7 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
         "avgdl0": avgdl[bstart],
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes, "dl_bytes": dl_bytes, "w_bytes": w_bytes,
+        "pos_bytes": pos_bytes,
     }, columns=_COLS)
 
 
@@ -159,3 +184,17 @@ def unpack_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     dls = codec.decode_varints(row.dl_bytes, n).astype(np.int64)
     ws = np.frombuffer(row.w_bytes, dtype="<f8")
     return docs, tfs, dls, ws
+
+
+def unpack_positions(row, tfs: np.ndarray | None = None) -> np.ndarray:
+    """Flat per-doc-run positions of one block (run lengths = the tfs;
+    pass them if already decoded to skip a second tf_bytes pass)."""
+    n = int(row.n_docs)
+    if tfs is None:
+        tfs = codec.decode_varints(row.tf_bytes, n).astype(np.int64)
+    npos = int(tfs.sum())
+    gaps = codec.decode_varints(row.pos_bytes, npos).astype(np.int64)
+    cs = np.cumsum(gaps)
+    starts = np.cumsum(tfs) - tfs
+    base = np.repeat(cs[starts] - gaps[starts], tfs)
+    return cs - base

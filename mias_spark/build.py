@@ -193,7 +193,7 @@ def _salted(posts: DataFrame) -> DataFrame:
         F.col("df") > SALT_DF_THRESHOLD,
         (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
         .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
-                "idf", "avgdl"))
+                "idf", "avgdl", "positions"))
 
 
 def _dbucket():

@@ -5,11 +5,13 @@ Media payloads are opaque ``BinaryType`` columns with a 22-byte typed
 header (magic(4) + kind(2) + width(6) + height(6) + frames(4), ASCII so
 the DuckDB oracle can check the very same parse); decode / feature
 extraction / resize / frame-sample run as Arrow ``mapInPandas`` kernels
-over the blobs. The actual codec step is STUBBED (this container has no
-image/audio libraries): ``decode_media`` raises NotImplementedError for
-real decoding and provides a deterministic fake so the Spark-side
-plumbing — schema, batch shape, partitioning, UDF signatures — is real
-and tested end-to-end.
+over the blobs. The codec step dispatches to Pillow/soundfile/PyAV when
+installed and otherwise to a stdlib-only builtin decoder (uncompressed
+WAV via ``wave``, binary PGM/PPM) — so the real decode path executes
+in this container; other formats raise NotImplementedError until a
+codec lib is installed. A deterministic fake stream remains the
+default so the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signatures — is testable independently of codecs.
 """
 
 from __future__ import annotations
@@ -85,23 +87,74 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 def _codec_module():
     """Optional-import seam for a REAL codec: first available of
-    Pillow / soundfile / PyAV. Returns (name, module) or None — none of
-    these ship in this container, but installing any one of them makes
-    ``decode_media(real=True)`` work with no code change (the dispatch
-    is unit-tested against a monkeypatched module)."""
+    Pillow / soundfile / PyAV, falling back to the stdlib-only
+    ``builtin`` decoder (uncompressed WAV via the ``wave`` module and
+    binary PGM/PPM) — so the real decode path executes in CI with no
+    external libraries. Installing any codec lib upgrades the dispatch
+    with no code change."""
     import importlib
     for name in ("PIL.Image", "soundfile", "av"):
         try:
             return name, importlib.import_module(name)
         except ImportError:
             continue
-    return None
+    return "builtin", None
+
+
+def _decode_builtin(payload: bytes) -> np.ndarray:
+    """Pure-stdlib decode of the two honest formats: RIFF/WAVE PCM
+    (any sample width the ``wave`` module accepts) and binary
+    PGM (P5) / PPM (P6) — P6 pixels are reduced to luma by channel
+    mean, the builtin analog of Pillow's convert('L')."""
+    import io
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave
+        with wave.open(io.BytesIO(payload)) as wf:
+            raw = wf.readframes(wf.getnframes())
+            width = wf.getsampwidth()
+        dt = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
+        if dt is None:
+            raise NotImplementedError(
+                f"builtin codec: unsupported WAV sample width {width}")
+        return np.frombuffer(raw, dtype=dt).astype(np.float32)
+    if payload[:2] in (b"P5", b"P6"):
+        # header: magic, width, height, maxval — whitespace-separated
+        # with '#' comments; pixel data follows the single whitespace
+        # after maxval
+        vals, i, n = [], 2, len(payload)
+        while len(vals) < 3 and i < n:
+            while i < n and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":
+                while i < n and payload[i:i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        i += 1                        # the single whitespace after maxval
+        w, h, maxval = vals
+        ch = 3 if payload[:2] == b"P6" else 1
+        dt = np.uint8 if maxval < 256 else ">u2"
+        px = np.frombuffer(payload, dtype=dt, count=w * h * ch, offset=i)
+        if ch == 3:
+            px = px.reshape(-1, 3).astype(np.float32).mean(axis=1)
+        return px.astype(np.float32).ravel()
+    raise NotImplementedError(
+        "builtin codec decodes uncompressed WAV and binary PGM/PPM "
+        "only; install an image/audio codec library (Pillow/soundfile/"
+        "PyAV) for other formats — decode_media dispatches to it "
+        "automatically")
 
 
 def _decode_real(name: str, mod, payload: bytes) -> np.ndarray:
     """Dispatch one payload through the available codec, normalized to
     the same flat float32 sample array the fake produces."""
     import io
+    if name == "builtin":
+        return _decode_builtin(payload)
     if name == "PIL.Image":
         img = mod.open(io.BytesIO(payload)).convert("L")
         return np.asarray(img, dtype=np.float32).ravel()
@@ -118,19 +171,15 @@ def decode_media(blob: bytes, real: bool = False) -> np.ndarray:
     """Decode a media payload to a sample array.
 
     ``real=True`` routes through the first codec library found by
-    ``_codec_module`` (Pillow / soundfile / PyAV) and raises
-    NotImplementedError when none is installed — an honest declared
-    stub in this container. The default is a deterministic fake: the
-    md5 stream of the payload as uint8 samples — stable across
-    engines/runs, enough to exercise every downstream kernel."""
+    ``_codec_module`` (Pillow / soundfile / PyAV), falling back to the
+    stdlib-only builtin decoder (uncompressed WAV, binary PGM/PPM) —
+    the real path genuinely executes in this container; formats beyond
+    those raise NotImplementedError until a codec lib is installed.
+    The default is a deterministic fake: the md5 stream of the payload
+    as uint8 samples — stable across engines/runs, enough to exercise
+    every downstream kernel."""
     if real:
-        found = _codec_module()
-        if found is None:
-            raise NotImplementedError(
-                "real media decoding requires an image/audio codec "
-                "library (Pillow/soundfile/PyAV); install one — "
-                "decode_media dispatches to it automatically")
-        name, mod = found
+        name, mod = _codec_module()
         return _decode_real(name, mod, blob[HEADER_LEN:])
     digest = hashlib.md5(blob[HEADER_LEN:]).digest()
     return np.frombuffer(digest * 4, dtype=np.uint8).astype(np.float32)

@@ -753,18 +753,25 @@ class Engine:
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
         if pplan["impossible"] or (clauses.empty and not pplan["must"]):
             return SearchResult(empty, n_groups, len(clauses), processed)
-        must_df, banned = self._phrase_frames(pplan)
+        # phrase/prohibited positions come from the packed blocks in
+        # blocks mode (pos_bytes — the Lucene positions-file analog) so
+        # no query in blocks mode ever scans the postings row surface;
+        # pre-pos_bytes indexes and df mode use the rows
+        surface = "blocks" if (mode == "blocks"
+                               and self._blocks_pos) else "rows"
+        must_df, banned = self._phrase_frames(pplan, surface)
         n_pg = len({p["grp"] for p in pplan["must"]})
         if mode == "df" or clauses.empty:
-            # phrase clauses live on the positional postings surface, so
-            # a phrase-only query runs this plan in both modes (packed
-            # blocks are position-free by design, like Lucene keeping
-            # positions in a separate file from the skip/doc data).
+            # a phrase-ONLY query has no term clauses for the block
+            # kernel; it runs this aggregation plan in both modes, with
+            # the phrase frames sourced from the mode's surface (blocks
+            # mode: zero postings-row scans in the executed plan).
             # The aggregated scoring plan is memoized per processed
             # query (prepared statement: every input — clauses, phrase
             # frames, tombstones — is a constant of the pinned
             # snapshot); each call still runs a fresh job.
-            dkey = ("df", processed, variant) if self._cache else None
+            dkey = (("df", processed, variant, surface)
+                    if self._cache else None)
             agg = self._plan_get(dkey) if dkey else None
             if agg is None:
                 parts = []
@@ -935,21 +942,82 @@ class Engine:
         return out
 
     # ------------------------------------------------------ phrase frames
-    def _phrase_postings(self, tids: list[int]):
+    @property
+    def _blocks_pos(self) -> bool:
+        """True when the packed blocks carry pos_bytes (indexes built
+        before round 4 don't; phrase queries then read the row
+        surface). Resolved once per Engine from the blocks schema."""
+        if not hasattr(self, "_blocks_pos_"):
+            try:
+                self._blocks_pos_ = "pos_bytes" in \
+                    self._base("blocks").columns
+            except Exception:
+                self._blocks_pos_ = False
+        return self._blocks_pos_
+
+    def _phrase_postings(self, tids: list[int], surface: str = "rows"):
+        """(term_id, doc_id, positions, dl) for the given terms —
+        from the exploded postings rows, or decoded out of the packed
+        blocks (``surface="blocks"``: the Lucene positions-file analog,
+        so phrase queries in blocks mode never scan the row surface)."""
+        if surface == "blocks":
+            return self._positions_from_blocks(tids)
         n_buckets = self.n_buckets
         buckets = sorted({t % n_buckets for t in tids})
         return (self._pruned("postings", "bucket", buckets)
                 .where(F.col("term_id").isin([int(t) for t in tids]))
                 .select("term_id", "doc_id", "positions", "dl"))
 
-    def _phrase_match(self, p: dict) -> DataFrame:
+    def _positions_from_blocks(self, tids: list[int]) -> DataFrame:
+        """Positional posting rows decoded from the packed blocks:
+        bucket- and term-pruned scan, one vectorized decode per block
+        (w_bytes is never read — column pruning holds), rows identical
+        to the postings surface for these terms, so every phrase
+        consumer downstream is byte-for-byte unchanged."""
+        buckets = sorted({t % self.n_buckets for t in tids})
+        bdf = (self._pruned("blocks", "bucket", buckets)
+               .where(F.col("term_id").isin([int(t) for t in tids]))
+               .select("term_id", "n_docs", "doc_bytes", "tf_bytes",
+                       "dl_bytes", "pos_bytes"))
+
+        def fn(batches):
+            from mias_spec import codec as C
+            for pdf in batches:
+                terms, docs_c, pos_c, dl_c = [], [], [], []
+                for row in pdf.itertuples():
+                    n = int(row.n_docs)
+                    docs = C.decode_doc_ids(row.doc_bytes, n)
+                    tfs = C.decode_varints(row.tf_bytes, n).astype(
+                        np.int64)
+                    dls = C.decode_varints(row.dl_bytes, n).astype(
+                        np.int64)
+                    flat = blk.unpack_positions(row, tfs)
+                    cuts = np.cumsum(tfs)[:-1]
+                    terms.append(np.full(n, row.term_id, np.int64))
+                    docs_c.append(docs)
+                    dl_c.append(dls)
+                    pos_c.extend(
+                        a.astype(np.int32) for a in np.split(flat, cuts))
+                if not terms:
+                    continue
+                yield pd.DataFrame({
+                    "term_id": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs_c),
+                    "positions": pos_c,
+                    "dl": np.concatenate(dl_c)})
+
+        return bdf.mapInPandas(
+            fn, "term_id long, doc_id long, positions array<int>, dl long")
+
+    def _phrase_match(self, p: dict, surface: str = "rows") -> DataFrame:
         """Docs matching one phrase clause, with the phrase tf:
         chained equi-joins on doc_id over the phrase terms' postings
         (bucket- and term-pruned scans — each side is ONE term's
-        posting list), adjacency verified with native array functions
-        (positions are stored on posting rows, build.py). Returns
-        (doc_id, ptf, dl)."""
-        posts = self._phrase_postings(p["tids"])
+        posting list), adjacency verified with native array functions.
+        ``surface`` picks where positions come from (posting rows or
+        packed blocks) — the frames are identical, so the match and
+        scoring logic is shared. Returns (doc_id, ptf, dl)."""
+        posts = self._phrase_postings(p["tids"], surface)
         cur = (posts.where(F.col("term_id") == int(p["tids"][0]))
                .select("doc_id", F.col("positions").alias("P"), "dl"))
         for t in p["tids"][1:]:
@@ -963,8 +1031,8 @@ class Engine:
         return cur.select("doc_id",
                           F.size("P").cast("double").alias("ptf"), "dl")
 
-    def _phrase_frames(self, pplan) -> tuple[DataFrame | None,
-                                             DataFrame | None]:
+    def _phrase_frames(self, pplan, surface: str = "rows"
+                       ) -> tuple[DataFrame | None, DataFrame | None]:
         """(must_scores, banned_docs): must_scores has one row per
         (doc, phrase clause) with columns (doc_id, grp, score) — the
         PhraseClause scoring spec, all native expressions; banned_docs
@@ -973,7 +1041,7 @@ class Engine:
         a driver-side collect."""
         must = None
         for p in pplan["must"]:
-            m = self._phrase_match(p)
+            m = self._phrase_match(p, surface)
             score = (
                 F.lit(p["boost"] * p["w"] * p["idf_p"])
                 * F.col("ptf") * (BM25_K1 + 1.0)
@@ -986,10 +1054,11 @@ class Engine:
         banned = None
         parts = []
         if pplan["banned_tids"]:
-            parts.append(self._phrase_postings(pplan["banned_tids"])
+            parts.append(self._phrase_postings(pplan["banned_tids"],
+                                               surface)
                          .select("doc_id"))
         for p in pplan["must_not"]:
-            parts.append(self._phrase_match(p).select("doc_id"))
+            parts.append(self._phrase_match(p, surface).select("doc_id"))
         if parts:
             banned = parts[0]
             for x in parts[1:]:

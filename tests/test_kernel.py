@@ -23,6 +23,7 @@ def _mk_blocks(doc_tf: dict[int, int], tid=7, idf=2.0, avgdl=10.0, dl=10):
         "wsum": np.array([float(doc_tf[d]) for d in docs]),  # avg_w = 1
         "idf": np.full(n, idf),
         "avgdl": np.full(n, avgdl),
+        "positions": [list(range(doc_tf[d])) for d in docs],
     })
     out = blk._pack_frame(g)
     out["shard"] = 0
@@ -98,6 +99,7 @@ def _mk_term_blocks(tid, doc_tf, idf=2.0, avgdl=10.0, dl=10):
         "wsum": np.array([float(doc_tf[d]) for d in docs]),
         "idf": np.full(n, idf),
         "avgdl": np.full(n, avgdl),
+        "positions": [list(range(doc_tf[d])) for d in docs],
     })
     out = blk._pack_frame(g)
     out["shard"] = 0

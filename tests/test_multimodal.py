@@ -123,3 +123,48 @@ def test_decode_media_real_dispatch(monkeypatch):
     # the fake path is untouched by codec presence (oracle stability)
     fake = MM.decode_media(blob)
     assert fake.dtype == np.float32 and len(fake) == 64
+
+
+def test_decode_media_builtin_real_payloads():
+    """Round-3 VERDICT #10: the real decode path must execute in CI
+    without external codec libs — a genuine uncompressed WAV and a
+    binary PGM/PPM round-trip through decode_media(real=True) via the
+    stdlib builtin dispatch target."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from mias_spark.pipelines import multimodal as MM
+
+    # 16-bit PCM WAV, 8 known samples
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5, -5, 0],
+                       dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+    blob = b"\x00" * MM.HEADER_LEN + buf.getvalue()
+    out = MM.decode_media(blob, real=True)
+    assert out.dtype == np.float32
+    assert out.tolist() == samples.astype(np.float32).tolist()
+
+    # binary PGM (P5) with a comment line in the header
+    pix = bytes(range(12))
+    pgm = b"P5\n# tiny\n4 3\n255\n" + pix
+    out = MM.decode_media(b"\x00" * MM.HEADER_LEN + pgm, real=True)
+    assert out.tolist() == list(range(12))
+
+    # binary PPM (P6): luma = channel mean (builtin convert('L'))
+    rgb = bytes([10, 20, 30, 60, 90, 120])
+    ppm = b"P6 2 1 255\n" + rgb
+    out = MM.decode_media(b"\x00" * MM.HEADER_LEN + ppm, real=True)
+    assert out.tolist() == [20.0, 90.0]
+
+    # unknown format still honestly refuses without a codec lib
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="codec"):
+        MM.decode_media(b"\x00" * MM.HEADER_LEN + b"GIF89a...",
+                        real=True)

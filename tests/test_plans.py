@@ -65,3 +65,46 @@ def test_blocks_scan_prunes_binary_columns_on_skip(spark, tiny_build):
     # small k on a multi-block term so theta > 0
     r = eng.search("data", k=1, mode="blocks", with_fields=False)
     assert r.blocks_stats["theta"] > 0
+
+
+def test_phrase_blocks_mode_never_scans_posting_rows(
+        spark, tiny_build, monkeypatch):
+    """Round-3 VERDICT #1: with pos_bytes packed beside the doc data,
+    phrase queries (13-18 incl. mixed, NOT-phrase and 3-term) in
+    blocks mode must run entirely on the block surface — no read of
+    the postings row table anywhere in the executed query. Verified by
+    spying every table access AND by plan text of the phrase frames."""
+    c, cat, oidx, ix = tiny_build
+    from mias_spec import oracle as O
+    import numpy as np
+    eng = Engine(spark, ix)
+    assert eng._blocks_pos
+    touched = []
+    orig_pruned, orig_base = Engine._pruned, Engine._base
+
+    def spy_pruned(self, name, col, vals):
+        touched.append(name)
+        return orig_pruned(self, name, col, vals)
+
+    def spy_base(self, name):
+        touched.append(name)
+        return orig_base(self, name)
+
+    monkeypatch.setattr(Engine, "_pruned", spy_pruned)
+    monkeypatch.setattr(Engine, "_base", spy_base)
+    queries = ['"items total"', 'partition "items total"',
+               '"items total" -"partition weight"',
+               '"weight return total"', 'energy -momentum']
+    for q in queries:
+        touched.clear()
+        got = eng.search(q, k=10, mode="blocks", with_fields=False)
+        assert "postings" not in touched, q
+        exp = O.search(oidx, q, "BOTH", 10)
+        assert [int(d) for d in got.hits["doc_id"]] == \
+            [int(d) for d in exp["doc_id"]], q
+        assert np.allclose(got.hits["score"].astype(float),
+                           exp["score"].astype(float), atol=1e-6), q
+    # the decoded-positions frame itself reads only the blocks files
+    clauses, pplan, ng, proc, cq = eng.compile('"items total"')
+    must_df, banned = eng._phrase_frames(pplan, surface="blocks")
+    assert "postings" not in _plan(must_df)
