@@ -40,6 +40,14 @@ from mias_spark.tokenize import tokenize_docs, with_meta
 from mias_spec.constants import SALT_DF_THRESHOLD, SALT_DOC_RANGE
 
 
+#: doc_store partition granularity: dseg = doc_id >> DOC_SEG_SHIFT.
+#: Display fetches are k-row point lookups — partitioned by doc range
+#: they prune to the <=k segments holding the ids instead of scanning
+#: the whole store (at 10^12 docs an unpartitioned k-row lookup reads
+#: every footer). Recorded in props so query side uses the same shift.
+DOC_SEG_SHIFT = 20
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -47,6 +55,7 @@ def build_index(
     n_buckets: int = 16,
     doc_limit: int | None = None,
     resume: bool = True,
+    doc_seg_shift: int = DOC_SEG_SHIFT,
 ) -> Catalog:
     """Build a full index from a corpus(repo, path, commit, lang,
     content) DataFrame. Idempotent and resumable when ``resume``."""
@@ -80,7 +89,12 @@ def build_index(
         # arXiv id override (HtmlDocument.java:31-36)
         store = with_meta(docs).withColumn(
             "id", F.coalesce("arxiv_id", "doc_key"))
-        cat.write(store, "doc_store")
+        store = store.withColumn(
+            "dseg", F.shiftright("doc_id", doc_seg_shift))
+        cat.write(store, "doc_store", partition_by=["dseg"])
+        # next_doc_id high-water mark: upsert assigns fresh ids from
+        # here instead of running a max(doc_id) scan per call
+        cat.set_props(next_doc_id=int(n), doc_seg_shift=int(doc_seg_shift))
         cat.commit_table("doc_store", rows=n)
         cat.metric("doc_store", rows=n, secs=time.time() - ts)
 

@@ -313,7 +313,13 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
         .select("doc_id", "doc_key"), "_staging_replaced")
     replaced = cat.read("_staging_replaced")
     n_replaced = replaced.count()
-    next_doc = (store.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+    # doc-id high-water mark from the manifest (like next_term_id) —
+    # no max(doc_id) table scan per upsert; pre-counter indexes
+    # backfill once (guard `is not None`: max can legitimately be 0)
+    next_doc = cat.props().get("next_doc_id")
+    if next_doc is None:
+        m = store.agg(F.max("doc_id")).collect()[0][0]
+        next_doc = (m if m is not None else -1) + 1
     # id assignment FIRST: its duplicate-key MERGE validation must fire
     # before the first index mutation (tombstones), so a rejected batch
     # leaves the index untouched
@@ -328,10 +334,18 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
         dead_ddf, minus = _dead_partials(spark, cat, replaced)
     new_store = with_meta(new_docs).withColumn(
         "id", F.coalesce("arxiv_id", "doc_key"))
+    store_part = None
+    if "dseg" in store.columns:        # pre-dseg index: stay flat
+        shift = int(cat.props().get("doc_seg_shift", 20))
+        new_store = new_store.withColumn(
+            "dseg", F.shiftright("doc_id", shift))
+        store_part = ["dseg"]
     # stage the delta once; everything below appends from this segment
     cat.write(new_store.select(*store.columns), "_staging_delta_store")
     delta_store = cat.read("_staging_delta_store")
-    cat.append(delta_store, "doc_store")
+    cat.append(delta_store, "doc_store", store_part)
+    n_assigned = int(_n)
+    cat.set_props(next_doc_id=int(next_doc) + n_assigned)
     cat.commit_table("doc_store")
 
     new_toks = tokenize_docs(delta_store.select("doc_id", "content", "lang"))
@@ -541,8 +555,9 @@ def compact_step(spark: SparkSession, index_dir: str,
     finalized = not rest
     if finalized:
         # ---- epoch end: purge doc-oriented tables, retire snapshot
-        cat.overwrite(cat.read("doc_store")
-                      .join(snap, "doc_id", "leftanti"), "doc_store")
+        live = cat.read("doc_store").join(snap, "doc_id", "leftanti")
+        cat.overwrite(live, "doc_store",
+                      ["dseg"] if "dseg" in live.columns else None)
         cat.commit_table("doc_store")
         toks = (cat.read("tokens", merge_schema=True)
                 .join(snap, "doc_id", "leftanti"))
@@ -601,7 +616,9 @@ def optimize(spark: SparkSession, index_dir: str) -> dict:
     tomb = cat.tombstones()
     n_dead = tomb.count() if tomb is not None else 0
     if n_dead:
-        cat.overwrite(live_store(cat), "doc_store")
+        live = live_store(cat)
+        cat.overwrite(live, "doc_store",
+                      ["dseg"] if "dseg" in live.columns else None)
         cat.commit_table("doc_store")
         cat.overwrite(live_tokens(cat).withColumn("tseg", _tseg()),
                       "tokens", ["tseg"])

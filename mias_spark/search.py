@@ -614,12 +614,20 @@ class Engine:
                 dic = self._pruned("dictionary", "dbucket", dbuckets)
             cond = F.concat_ws("\x00", "field", "term").isin(
                 ["\x00".join(p) for p in todo])
-            # merge the base + delta dictionary segments for the
-            # looked-up terms only: df is additive across segments
-            got = {(r["field"], r["term"]): (r["term_id"], r["df"])
-                   for r in dic.where(cond)
-                   .groupBy("field", "term", "term_id")
-                   .agg(F.sum("df").alias("df")).collect()}
+            if int(self.cat.props().get("dict_segments", 0) or 0) == 0:
+                # clean dictionary (fresh build / post-fold): one row
+                # per key, so the segment-merge agg is a whole extra
+                # shuffle stage for nothing — a single-stage
+                # filter+collect shaves ~0.2 s off every cold compile
+                got = {(r["field"], r["term"]): (r["term_id"], r["df"])
+                       for r in dic.where(cond).collect()}
+            else:
+                # merge the base + delta dictionary segments for the
+                # looked-up terms only: df is additive across segments
+                got = {(r["field"], r["term"]): (r["term_id"], r["df"])
+                       for r in dic.where(cond)
+                       .groupBy("field", "term", "term_id")
+                       .agg(F.sum("df").alias("df")).collect()}
             if self._cache:
                 with self._lock:
                     for p in todo:
@@ -694,15 +702,21 @@ class Engine:
                timeout_s: float | None = None) -> SearchResult:
         """``timeout_s``: Q9 time-limited search (the reference's 30 s
         TimeLimitingCollector, Searching.java:169-200) — cancels the
-        Spark job group at the deadline and returns empty partial
-        results (the reference returns whatever the collector gathered;
-        cancellation granularity here is the whole job)."""
+        Spark job group at the deadline. On the distributed blocks
+        path, shard results stream back through a local iterator into
+        a partial sink as they complete, so the deadline returns the
+        hits gathered so far with the GTE relation (the reference
+        returns whatever the collector gathered; our granularity is
+        the shard). Other paths (df plan, one-shot driver kernel)
+        return empty partial results — their single job is all or
+        nothing, like one Lucene segment."""
         if timeout_s is not None:
             import threading
             sc = self.spark.sparkContext
             group = f"mias-search-{id(self)}-{threading.get_ident()}"
             sc.setJobGroup(group, query_text[:80], interruptOnCancel=True)
             fired = threading.Event()
+            sink: dict = {"rows": [], "ctx": None}
 
             def _cancel():
                 fired.set()
@@ -713,7 +727,8 @@ class Engine:
             try:
                 return self._search_body(
                     query_text, k, offset, variant, extract_subformulae,
-                    reduce_weighting, mode, with_fields, snippets, debug)
+                    reduce_weighting, mode, with_fields, snippets, debug,
+                    partial_sink=sink)
             except Exception as e:
                 # only the DEADLINE maps to the partial-result sentinel
                 # (Searching.java returns what the collector gathered);
@@ -733,6 +748,25 @@ class Engine:
                         EOFError, OSError))
                 if not (fired.is_set() and spark_layer):
                     raise
+                if sink["rows"] and sink["ctx"] is not None:
+                    # shards that completed before the deadline: merge
+                    # them like any kernel output — totals and top-k
+                    # over what arrived, relation GTE (the reference's
+                    # partial-collector semantics, Searching.java:186)
+                    topn, theta, n_grp, n_sh, mrows = sink["ctx"]
+                    allpdf = pd.DataFrame(
+                        sink["rows"], columns=[
+                            "doc_id", "score", "n_hits", "n_skipped",
+                            "n_lossy"])
+                    pdf4, total, _rel, stats = self._finish_blocks(
+                        allpdf, topn, theta, n_grp, n_sh, mrows)
+                    hits = pdf4.iloc[offset:offset + k] \
+                        .reset_index(drop=True)
+                    hits.insert(0, "rank", np.arange(
+                        offset + 1, offset + 1 + len(hits)))
+                    return SearchResult(
+                        hits, 0, 0, "(timed out; partial)", total,
+                        "gte", stats)
                 # 0 is only a LOWER bound on the true hit count
                 # (Lucene's partial-result relation under timeout)
                 return SearchResult(
@@ -747,7 +781,8 @@ class Engine:
 
     def _search_body(self, query_text, k, offset, variant,
                      extract_subformulae, reduce_weighting, mode,
-                     with_fields, snippets, debug) -> SearchResult:
+                     with_fields, snippets, debug,
+                     partial_sink: dict | None = None) -> SearchResult:
         clauses, pplan, n_groups, processed, q = self.compile(
             query_text, variant, extract_subformulae, reduce_weighting)
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
@@ -788,6 +823,23 @@ class Engine:
                     # second agg phase) is pure overhead
                     agg = scored.groupBy("doc_id").agg(
                         F.sum("score").alias("score"))
+                elif n_groups <= 62:
+                    # conjunction via a GROUP BITMASK folded in the
+                    # SAME hash agg as the score sum: one partial+final
+                    # aggregate, no Expand (countDistinct doubles every
+                    # input row into a second agg phase — the round-3
+                    # search_conj_df regression). Group ids are dense
+                    # in [0, n_groups); a group whose terms are absent
+                    # from the index never sets its bit, so no doc
+                    # reaches the full mask — same semantics
+                    full = (1 << n_groups) - 1
+                    agg = (
+                        scored.groupBy("doc_id")
+                        .agg(F.sum("score").alias("score"),
+                             F.bit_or(F.expr("shiftleft(1L, grp)"))
+                             .alias("_gm"))
+                        .where(F.col("_gm") == full).drop("_gm")
+                    )
                 else:
                     agg = (
                         scored.groupBy("doc_id")
@@ -834,14 +886,14 @@ class Engine:
             bstats = None
         else:
             pdf, total_hits, rel, bstats = self._topk_blocks(
-                clauses, k + offset, n_groups - n_pg, n_pg, must_df, banned)
+                clauses, k + offset, n_groups - n_pg, n_pg, must_df,
+                banned, partial_sink)
         hits = pdf.iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
         if (with_fields or snippets) and len(hits):
             ids = [int(d) for d in hits["doc_id"]]
             cols = ["doc_id", "id", "repo", "path", "title"]
-            disp_df = (self._table("doc_store")
-                       .where(F.col("doc_id").isin(ids)))
+            disp_df = self._display_frame(ids)
             if snippets:
                 # Q11 runs IN THE EXECUTORS: snippet extraction (XML
                 # parse + highlight per hit doc) rides a mapInPandas
@@ -883,6 +935,21 @@ class Engine:
             hits["explain"] = self._explain(clauses, hits, n_groups, pplan)
         return SearchResult(hits, n_groups, len(clauses), processed,
                             total_hits, rel, bstats)
+
+    def _display_frame(self, ids: list[int]) -> DataFrame:
+        """doc_store slice for the k hit docs. On a dseg-partitioned
+        store (build.py DOC_SEG_SHIFT) the fetch prunes to the <= k
+        doc-range partitions actually holding the ids — a k-row point
+        lookup must never list/scan the whole store (at 10^12 docs
+        that is the difference between milliseconds and a full
+        metadata pass; the documented KV seam remains the endgame).
+        Pre-dseg indexes fall back to the id filter alone."""
+        store = self._table("doc_store")
+        if "dseg" in store.columns:
+            shift = int(self.cat.props().get("doc_seg_shift", 20))
+            segs = sorted({d >> shift for d in ids})
+            store = store.where(F.col("dseg").isin(segs))
+        return store.where(F.col("doc_id").isin(ids))
 
     # -------------------------------------------------------------- explain
     def _explain(self, clauses: pd.DataFrame, hits: pd.DataFrame,
@@ -1096,6 +1163,7 @@ class Engine:
                      n_groups: int, n_pgroups: int = 0,
                      allow_df: DataFrame | None = None,
                      banned_df: DataFrame | None = None,
+                     partial_sink: dict | None = None,
                      ) -> tuple[pd.DataFrame, int, str, dict]:
         """Doc-sharded block-max top-k over the packed posting blocks.
         Returns (hits pandas frame, total_hits, total_hits_relation,
@@ -1424,7 +1492,23 @@ class Engine:
         if pkey is not None:
             self._plan_put(pkey, (local, None, theta, n_shards,
                                   "dist"))
-        allpdf = local.toPandas()
+        if partial_sink is not None:
+            # deadline-capable collect: shard outputs stream into the
+            # sink as their partitions land, so a job-group cancel
+            # still leaves every completed shard's top-n + sentinel
+            # for the partial-result merge in search(). Slightly more
+            # scheduling overhead than one collect — only paid when a
+            # timeout is armed
+            partial_sink["ctx"] = (topn, theta, n_groups, n_shards,
+                                   meta_rows)
+            rows = partial_sink["rows"]
+            for row in local.toLocalIterator(prefetchPartitions=True):
+                rows.append((row["doc_id"], row["score"], row["n_hits"],
+                             row["n_skipped"], row["n_lossy"]))
+            allpdf = pd.DataFrame(rows, columns=[
+                "doc_id", "score", "n_hits", "n_skipped", "n_lossy"])
+        else:
+            allpdf = local.toPandas()
         return self._finish_blocks(allpdf, topn, theta, n_groups,
                                    n_shards, meta_rows)
 

@@ -134,13 +134,28 @@ def math_fragments(maths: list[ET.Element], query_mterms: set[str],
             for _w, _i, x in scored[:max_fragments]]
 
 
+#: per-document snippet work budget: fragment extraction scans at most
+#: this many chars of content. The reference bounds snippets by WALL
+#: CLOCK (0.5 s/doc, Searching.java:73-77) which is nondeterministic;
+#: a deterministic scan cap bounds the same cost (parse + regex are
+#: linear in scanned chars) without making snippets host-dependent.
+#: One pathological multi-megabyte doc can no longer stall its page.
+SNIPPET_SCAN_CHARS = 200_000
+
+
 def make_snippet(content: str, lang: str | None, text_terms: list[str],
                  query_mterms: set[str],
                  phrases: list[tuple[str, ...]] = ()) -> str:
     """Assembled snippet for one result document: math fragments first
     (highest payload), then whole-span phrase fragments, then text
-    fragments, " … "-joined."""
+    fragments, " … "-joined. Work per doc is bounded by
+    SNIPPET_SCAN_CHARS (the 0.5 s/doc reference budget, made
+    deterministic)."""
     content = content or ""
+    if len(content) > SNIPPET_SCAN_CHARS:
+        # markup clip lands mid-tag; the extractor's regex fallback
+        # handles truncated documents
+        content = content[:SNIPPET_SCAN_CHARS]
     if _is_markup(content, lang):
         _title, body, _ax, _au, maths = _extract_html_fields(content)
     else:

@@ -609,3 +609,44 @@ def test_cross_plan_tie_determinism(spark, tmp_path):
         for v in np.unique(qk):
             grp = ids[qk == v]
             assert list(grp) == sorted(grp), (q, v)
+
+
+def test_timeout_partial_results(spark, tiny_build, monkeypatch):
+    """Round-3 VERDICT #5: a deadline mid-search returns the hits
+    gathered from shards that completed BEFORE the cancel, relation
+    gte — not an empty frame. Also: with a timeout armed but never
+    firing, the streaming (toLocalIterator) collect path must produce
+    exactly the all-at-once result."""
+    import mias_spark.search as S
+    c, cat, oidx, ix = tiny_build
+
+    # 1. streaming collect path == one-shot collect (forced distributed)
+    monkeypatch.setattr(S, "_SHARD_POSTINGS", 8)
+    eng = Engine(spark, ix)
+    base = eng.search("energy", k=10, mode="blocks", with_fields=False)
+    assert base.blocks_stats["n_shards"] > 1
+    timed = eng.search("energy", k=10, mode="blocks", with_fields=False,
+                       timeout_s=300)
+    assert [int(d) for d in timed.hits["doc_id"]] == \
+        [int(d) for d in base.hits["doc_id"]]
+    assert timed.total_hits == base.total_hits
+    monkeypatch.undo()
+
+    # 2. deadline fires with two shards' output already in the sink:
+    # the handler merges them into ranked partial hits
+    def partial_then_hang(*a, partial_sink=None, **kw):
+        assert partial_sink is not None
+        partial_sink["ctx"] = (3, 0.0, 1, 4, 2)
+        partial_sink["rows"].extend([
+            (5, 2.5, 0, 0, 0), (9, 1.5, 0, 0, 0),
+            (-1, 0.0, 2, 1, 0)])
+        spark.range(500_000_000_000).selectExpr("sum(id % 97)").collect()
+        raise AssertionError("job was not cancelled")
+
+    eng2 = Engine(spark, ix)
+    eng2._search_body = partial_then_hang
+    r = eng2.search("energy", k=3, timeout_s=0.5)
+    assert r.processed_query == "(timed out; partial)"
+    assert [int(d) for d in r.hits["doc_id"]] == [5, 9]
+    assert list(r.hits["rank"]) == [1, 2]
+    assert r.total_hits == 2 and r.total_hits_relation == "gte"

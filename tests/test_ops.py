@@ -461,3 +461,49 @@ def test_catalog_read_masks_only_truly_empty_tables(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         cat.read("u").count()
+
+
+def test_doc_store_dseg_pruning_and_doc_id_high_water(spark, tmp_path):
+    """Round-3 VERDICT #6/#7: the display fetch prunes doc_store to the
+    doc-range partitions holding the k ids (plan-level assertion via
+    the files actually read), and upsert takes fresh doc ids from the
+    manifest next_doc_id high-water mark instead of a max() scan."""
+    from mias_spec import corpus as C
+
+    from mias_spark.build import build_index
+    from mias_spark.catalog import Catalog
+    from mias_spark.ops import upsert
+    from mias_spark.search import Engine
+    ix = str(tmp_path / "ixdseg")
+    c = C.make_corpus(40)
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2,
+                doc_seg_shift=3)                  # 8 docs per segment
+    cat = Catalog(spark, ix)
+    assert cat.props()["next_doc_id"] == 40
+    assert cat.props()["doc_seg_shift"] == 3
+    eng = Engine(spark, ix)
+    from pyspark.sql import functions as F
+    disp = eng._display_frame([1, 2, 35])
+    # files ACTUALLY read (input_file_name reflects partition pruning;
+    # DataFrame.inputFiles() lists the relation pre-pruning)
+    files = [r[0] for r in
+             disp.select(F.input_file_name()).distinct().collect()]
+    assert files
+    segs = {f.split("dseg=")[1].split("/")[0] for f in files}
+    assert segs == {"0", "4"}                     # 1,2 -> seg0; 35 -> seg4
+    plan = disp._jdf.queryExecution().executedPlan().toString()
+    assert "dseg" in plan.split("PartitionFilters")[1][:160]
+    got = {int(r["doc_id"]) for r in disp.select("doc_id").collect()}
+    assert got == {1, 2, 35}
+    # search round-trip with display fields still works on the
+    # partitioned store
+    r = eng.search("energy", k=3, with_fields=True)
+    assert r.hits["path"].notna().all()
+    # upsert: ids continue from the high-water mark, mark advances
+    res = upsert(spark, ix, spark.createDataFrame(C.make_corpus(45)))
+    assert res["added"] == 45 and res["replaced"] == 40
+    cat2 = Catalog(spark, ix)
+    assert cat2.props()["next_doc_id"] == 85
+    ids = sorted(int(r[0]) for r in
+                 cat2.read("doc_store").select("doc_id").collect())
+    assert len(ids) == len(set(ids)) == 85        # no id collisions
