@@ -453,9 +453,11 @@ class Engine:
     first query, because a filter above an InMemoryRelation cannot
     prune the underlying file scan). doc_store alone is persisted
     whole (display fetches are k-row lookups; at real scale that
-    table belongs in a KV store or stays uncached). After an
-    upsert/delete, build a fresh Engine — like reopening a Lucene
-    IndexReader on a new commit point."""
+    table belongs in a KV store or stays uncached). A commit on the
+    index (upsert/delete/compaction) is detected by snapshot version
+    at the next compile and drops every cache — the Lucene
+    reopen-on-new-commit-point semantics, automated
+    (``_refresh_if_stale``)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache: bool = False):
@@ -495,6 +497,33 @@ class Engine:
         #: never across a Spark job
         import threading
         self._lock = threading.RLock()   # _table -> _base nests
+        #: manifest snapshot every cache entry was built against
+        self._snap = self.cat.manifest().get("snapshot", 0)
+
+    def _refresh_if_stale(self) -> None:
+        """Every memo (prepared plans, persisted slices, term lookups,
+        block metadata) pins the snapshot it was built against; a
+        commit on the index (upsert, delete, compaction) would
+        otherwise be silently ignored by memo hits — a deleted doc
+        could resurrect from a cached plan (ADVICE r4). One local
+        manifest read per compile detects a newer snapshot and drops
+        every cache + refreshes the pinned stats: fresh-Engine
+        semantics, automated. (On the Iceberg binding this becomes a
+        snapshot-id check against the catalog.)"""
+        cur = self.cat.manifest().get("snapshot", 0)
+        if cur == self._snap:
+            return
+        with self._lock:
+            if cur == self._snap:      # another thread refreshed
+                return
+            self.close()
+            self._bases.clear()
+            if hasattr(self, "_blocks_pos_"):
+                del self._blocks_pos_
+            props = self.cat.props()
+            self.field_stats = props["field_stats"]
+            self.n_buckets = props["n_buckets"]
+            self._snap = cur
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache:
@@ -583,6 +612,7 @@ class Engine:
         """Clause table joined with dictionary: one row per query clause
         present in the index. Returns (clauses_df, phrase_plan,
         n_groups, processed_query_string, compiled_query)."""
+        self._refresh_if_stale()
         q = compile_query(query_text, variant, extract_subformulae,
                           reduce_weighting)
         pplan = {"must": [], "must_not": [], "banned_tids": [],

@@ -507,3 +507,34 @@ def test_doc_store_dseg_pruning_and_doc_id_high_water(spark, tmp_path):
     ids = sorted(int(r[0]) for r in
                  cat2.read("doc_store").select("doc_id").collect())
     assert len(ids) == len(set(ids)) == 85        # no id collisions
+
+
+def test_cached_engine_detects_new_snapshot(spark, tmp_path):
+    """ADVICE r4: prepared-plan memos must not resurrect deleted docs.
+    A cached Engine that already memoized a query's plan detects the
+    index's new snapshot after a delete and drops its caches — the
+    deleted doc disappears from BOTH physical plans without building a
+    new Engine."""
+    from mias_spec import corpus as C
+
+    from mias_spark.build import build_index
+    from mias_spark.ops import delete_by_path
+    from mias_spark.search import Engine
+    ix = str(tmp_path / "ixsnap")
+    build_index(spark, spark.createDataFrame(C.make_corpus(60)), ix,
+                n_buckets=2)
+    eng = Engine(spark, ix, cache=True)
+    try:
+        victims = {}
+        for mode in ("df", "blocks"):
+            r = eng.search("energy", k=5, mode=mode)
+            assert len(r.hits)
+            victims[mode] = r.hits.iloc[0]
+            eng.search("energy", k=5, mode=mode)   # memoize the plan
+        path = victims["df"]["path"]
+        assert delete_by_path(spark, ix, path) >= 1
+        for mode in ("df", "blocks"):
+            r2 = eng.search("energy", k=5, mode=mode)
+            assert path not in set(r2.hits.get("path", [])), mode
+    finally:
+        eng.close()
