@@ -1106,6 +1106,25 @@ class Engine:
         return bdf.mapInPandas(
             fn, "term_id long, doc_id long, positions array<int>, dl long")
 
+    def _term_docs_from_blocks(self, tids: list[int]) -> DataFrame:
+        """Doc ids of the given terms decoded from packed blocks —
+        the MUST_NOT exclusion set. Only doc_bytes is read/decoded."""
+        buckets = sorted({t % self.n_buckets for t in tids})
+        bdf = (self._pruned("blocks", "bucket", buckets)
+               .where(F.col("term_id").isin([int(t) for t in tids]))
+               .select("n_docs", "doc_bytes"))
+
+        def fn(batches):
+            from mias_spec import codec as C
+            for pdf in batches:
+                outs = [C.decode_doc_ids(row.doc_bytes, int(row.n_docs))
+                        for row in pdf.itertuples()]
+                if outs:
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(outs)})
+
+        return bdf.mapInPandas(fn, "doc_id long")
+
     def _phrase_match(self, p: dict, surface: str = "rows") -> DataFrame:
         """Docs matching one phrase clause, with the phrase tf:
         chained equi-joins on doc_id over the phrase terms' postings
@@ -1151,9 +1170,14 @@ class Engine:
         banned = None
         parts = []
         if pplan["banned_tids"]:
-            parts.append(self._phrase_postings(pplan["banned_tids"],
-                                               surface)
-                         .select("doc_id"))
+            if surface == "blocks":
+                # prohibited terms need only their DOC SETS: decode
+                # doc_bytes alone (positions/tf/dl stay unread)
+                parts.append(self._term_docs_from_blocks(
+                    pplan["banned_tids"]))
+            else:
+                parts.append(self._phrase_postings(pplan["banned_tids"])
+                             .select("doc_id"))
         for p in pplan["must_not"]:
             parts.append(self._phrase_match(p, surface).select("doc_id"))
         if parts:

@@ -46,11 +46,22 @@ def main() -> None:
 
     clauses2, pplan2, ng2, proc2, q2 = eng.compile('"items total"')
     must, banned = eng._phrase_frames(pplan2)
-    sections.append(("Phrase clause (positional postings, adjacency "
-                     "via array_intersect)",
+    sections.append(("Phrase clause, df mode (positional postings, "
+                     "adjacency via array_intersect)",
                      "each join side is ONE term's pruned posting list; "
                      "adjacency verification is native (no Python)",
                      fmt(must)))
+
+    must_b, _banned_b = eng._phrase_frames(pplan2, surface="blocks")
+    sections.append(("Phrase clause, blocks mode (positions decoded "
+                     "from pos_bytes — round 4)",
+                     "the SAME join/adjacency plan fed by the packed "
+                     "blocks: a bucket+term-pruned blocks scan + one "
+                     "vectorized decode per block; the postings row "
+                     "table never appears (Lucene positions-file "
+                     "analog; ReadSchema shows doc/tf/dl/pos bytes "
+                     "only, w_bytes unread)",
+                     fmt(must_b)))
 
     # round-3: the bounded per-term block-metadata reduction (one row
     # per term back to the driver, window rank + hash agg entirely
@@ -78,15 +89,30 @@ def main() -> None:
 
     from pyspark.sql import Observation
     obs = Observation()
+    full = (1 << ng) - 1
     agg = (eng._score_dataframe(clauses)
-           .groupBy("doc_id").agg(F.sum("score").alias("score")))
+           .groupBy("doc_id")
+           .agg(F.sum("score").alias("score"),
+                F.bit_or(F.expr("shiftleft(1L, grp)")).alias("_gm"))
+           .where(F.col("_gm") == full).drop("_gm"))
     observed = agg.observe(obs, F.count(F.lit(1)).alias("n"))
-    top = (observed.orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+    okey = F.round(F.col("score") * F.lit(1e9))
+    top = (observed.orderBy(okey.desc(), F.asc("doc_id")).limit(10))
     sections.append((
-        "Single-pass exact totals (df mode)",
+        "Conjunction bitmask + single-pass exact totals (df mode)",
+        "the MUST-group check is a bit_or folded into the SAME hash "
+        "agg as the score sum (no countDistinct Expand — round 4); "
         "the CollectMetrics node counts conjunction-surviving rows "
-        "while TakeOrderedAndProject consumes them — Q10 totals cost "
-        "zero extra jobs or scans", fmt(top)))
+        "while TakeOrderedAndProject consumes them on the 1e-9 "
+        "quantized order key — Q10 totals cost zero extra jobs",
+        fmt(top)))
+
+    disp = eng._display_frame([3, 7, 260])
+    sections.append((
+        "doc_store display fetch (dseg range pruning — round 4)",
+        "the k-row point lookup prunes to the doc-range partitions "
+        "holding the ids (PartitionFilters on dseg) — never a "
+        "whole-store scan", fmt(disp)))
 
     sections.append(("Bucketed ANN (24-table sign-LSH)",
                      "one scan + explode builds all tables; candidates "
