@@ -633,31 +633,7 @@ class Engine:
         todo = [p for p in pairs if p not in self._term_cache] \
             if self._cache else pairs
         if todo:
-            from mias_spark.build import N_DICT_BUCKETS
-            from mias_spark.hashing import dbucket_py
-            dic = self._base("dictionary")
-            if "dbucket" in dic.columns:
-                # pure-Python xxh64 == F.xxhash64 bit-for-bit: the bucket
-                # keys cost zero Spark jobs
-                dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
-                                   for f, t in todo})
-                dic = self._pruned("dictionary", "dbucket", dbuckets)
-            cond = F.concat_ws("\x00", "field", "term").isin(
-                ["\x00".join(p) for p in todo])
-            if int(self.cat.props().get("dict_segments", 0) or 0) == 0:
-                # clean dictionary (fresh build / post-fold): one row
-                # per key, so the segment-merge agg is a whole extra
-                # shuffle stage for nothing — a single-stage
-                # filter+collect shaves ~0.2 s off every cold compile
-                got = {(r["field"], r["term"]): (r["term_id"], r["df"])
-                       for r in dic.where(cond).collect()}
-            else:
-                # merge the base + delta dictionary segments for the
-                # looked-up terms only: df is additive across segments
-                got = {(r["field"], r["term"]): (r["term_id"], r["df"])
-                       for r in dic.where(cond)
-                       .groupBy("field", "term", "term_id")
-                       .agg(F.sum("df").alias("df")).collect()}
+            got = self._lookup_terms(todo)
             if self._cache:
                 with self._lock:
                     for p in todo:
@@ -722,6 +698,84 @@ class Engine:
                + f"{p.fld}:\"{' '.join(p.terms)}\"" for p in q.phrases]
             + [f"-{c.fld}:{c.term}" for c in q.prohibited])
         return clauses, pplan, q.n_groups, processed, q
+
+    def _lookup_terms(self, todo: list[tuple[str, str]]
+                      ) -> dict[tuple[str, str], tuple]:
+        """(field, term) -> (term_id, df) for the pairs present in the
+        dictionary. Point lookups: the dictionary is dbucket-hash
+        partitioned, so only |query terms| buckets are touched. On the
+        parquet binding the pruned buckets are read DRIVER-SIDE with
+        pyarrow — a term lookup is a point query and launching a Spark
+        job for it is pure scheduling overhead (Lucene reads its term
+        dictionary locally for the same reason; ~0.3 s saved per cold
+        query). The Spark fallback covers the Iceberg binding and any
+        arrow failure, with identical segment-merge semantics."""
+        res = self._lookup_terms_arrow(todo)
+        if res is not None:
+            return res
+        from mias_spark.build import N_DICT_BUCKETS
+        from mias_spark.hashing import dbucket_py
+        dic = self._base("dictionary")
+        if "dbucket" in dic.columns:
+            # pure-Python xxh64 == F.xxhash64 bit-for-bit: the bucket
+            # keys cost zero Spark jobs
+            dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
+                               for f, t in todo})
+            dic = self._pruned("dictionary", "dbucket", dbuckets)
+        cond = F.concat_ws("\x00", "field", "term").isin(
+            ["\x00".join(p) for p in todo])
+        if int(self.cat.props().get("dict_segments", 0) or 0) == 0:
+            # clean dictionary (fresh build / post-fold): one row per
+            # key — the segment-merge agg would be a whole extra
+            # shuffle stage for nothing
+            return {(r["field"], r["term"]): (r["term_id"], r["df"])
+                    for r in dic.where(cond).collect()}
+        # merge the base + delta dictionary segments for the
+        # looked-up terms only: df is additive across segments
+        return {(r["field"], r["term"]): (r["term_id"], r["df"])
+                for r in dic.where(cond)
+                .groupBy("field", "term", "term_id")
+                .agg(F.sum("df").alias("df")).collect()}
+
+    def _lookup_terms_arrow(self, todo):
+        """Driver-side pyarrow read of the pruned dictionary buckets
+        (parquet binding only). Returns None to fall back to Spark.
+        Segment semantics identical to read_dictionary: df summed per
+        (field, term, term_id) across base + delta rows."""
+        import os
+        if self.cat._iceberg_ns():
+            return None
+        path = self.cat.path("dictionary")
+        if not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.dataset as pds
+
+            from mias_spark.build import N_DICT_BUCKETS
+            from mias_spark.hashing import dbucket_py
+            dset = pds.dataset(path, format="parquet",
+                               partitioning="hive")
+            names = set(dset.schema.names)
+            flt = None
+            if "dbucket" in names:
+                dbuckets = sorted({dbucket_py(f, t, N_DICT_BUCKETS)
+                                   for f, t in todo})
+                flt = pds.field("dbucket").isin(dbuckets)
+            pair = None
+            for f, t in todo:
+                e = (pds.field("field") == f) & (pds.field("term") == t)
+                pair = e if pair is None else (pair | e)
+            flt = pair if flt is None else (flt & pair)
+            tbl = dset.to_table(
+                columns=["field", "term", "term_id", "df"], filter=flt)
+            pdf = tbl.to_pandas()
+            if len(pdf):
+                pdf = (pdf.groupby(["field", "term", "term_id"],
+                                   as_index=False)["df"].sum())
+            return {(r.field, r.term): (int(r.term_id), int(r.df))
+                    for r in pdf.itertuples()}
+        except Exception:
+            return None   # any arrow hiccup -> Spark path
 
     # -------------------------------------------------------------- search
     def search(self, query_text: str, k: int = 10, offset: int = 0,
