@@ -100,11 +100,13 @@ def main(argv: list[str]) -> int:
     elif verb == "-search":
         from mias_spark.search import Engine
         eng = Engine(spark, conf.index_dir)
-        # flags are stripped BEFORE taking the query: `-search -page
-        # "q"` must page on q, never search for the literal '-page'
-        # (quote queries that start with '-', e.g. "-momentum energy")
-        flags = [a for a in rest if a.startswith("-")]
-        qargs = [a for a in rest if not a.startswith("-")]
+        # KNOWN flags are stripped before taking the query: `-search
+        # -page "q"` must page on q, never search for '-page' — while
+        # a query legitimately starting with a MUST_NOT term
+        # ("-momentum energy") must still pass through untouched
+        known_flags = {"-page"}
+        flags = [a for a in rest if a in known_flags]
+        qargs = [a for a in rest if a not in known_flags]
         if not qargs:
             print("usage: -search \"<query>\" [-page]")
             return 2

@@ -66,6 +66,23 @@ def live_store(cat: Catalog) -> DataFrame:
     return store if tomb is None else store.join(tomb, "doc_id", "leftanti")
 
 
+def _compat_blocks(cat: Catalog, packed: DataFrame) -> DataFrame:
+    """Keep a pre-pos_bytes blocks table schema-consistent: appending
+    the new positions column beside old files would make reads
+    nondeterministic (the hot path reads without mergeSchema, so the
+    inferred schema would depend on which footer Spark samples — and a
+    sampled pos_bytes would surface as None on old rows, crashing the
+    phrase decode). Such indexes keep the row surface for phrases; a
+    full `optimize` rebuilds the table and upgrades it to positions."""
+    try:
+        if cat.has_table("blocks") and \
+                "pos_bytes" not in cat.read("blocks").columns:
+            return packed.drop("pos_bytes")
+    except Exception:
+        pass
+    return packed
+
+
 # ---------------------------------------------- incremental stats (delta)
 #
 # Upsert/delete cost must scale with the DELTA, never the index
@@ -390,7 +407,7 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
               .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
               .withColumn("bucket",
                           F.pmod("term_id", F.lit(n_buckets)).cast("int")))
-    cat.append(packed, "blocks", ["bucket"])
+    cat.append(_compat_blocks(cat, packed), "blocks", ["bucket"])
     cat.commit_table("blocks")
     cat.flush_meta()
 
@@ -547,7 +564,8 @@ def compact_step(spark: SparkSession, index_dir: str,
               .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
               .withColumn("bucket",
                           F.pmod("term_id", F.lit(n_buckets)).cast("int")))
-    cat.overwrite_partitions(packed, "blocks", ["bucket"])
+    cat.overwrite_partitions(_compat_blocks(cat, packed), "blocks",
+                             ["bucket"])
     cat.drop_partitions("blocks", "bucket", gone)
     cat.commit_table("blocks")
     cat.drop("_staging_compact_posts")   # reclaim the staged slice

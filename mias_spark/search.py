@@ -510,14 +510,27 @@ class Engine:
         every cache + refreshes the pinned stats: fresh-Engine
         semantics, automated. (On the Iceberg binding this becomes a
         snapshot-id check against the catalog.)"""
-        cur = self.cat.manifest().get("snapshot", 0)
-        if cur == self._snap:
-            return
         with self._lock:
-            if cur == self._snap:      # another thread refreshed
+            # whole check under the lock: reading `cur` outside could
+            # let a stalled thread move _snap backwards
+            cur = self.cat.manifest().get("snapshot", 0)
+            if cur == self._snap:
                 return
-            self.close()
-            self._bases.clear()
+            # REPLACE the cache dicts instead of clearing in place: a
+            # thread mid-search holds local references to the old
+            # dicts/frames and finishes consistently against the
+            # snapshot it started on; clearing under its feet would
+            # KeyError its compile or silently drop its terms
+            for df in self._tables.values():
+                df.unpersist()
+            for df in self._slices.values():
+                df.unpersist()
+            self._tables = {}
+            self._slices = {}
+            self._term_cache = {}
+            self._block_meta = {}
+            self._plans = {}
+            self._bases = {}
             if hasattr(self, "_blocks_pos_"):
                 del self._blocks_pos_
             props = self.cat.props()
@@ -630,19 +643,22 @@ class Engine:
         # dictionary (build.py _dbucket; 10^9 terms at target scale).
         # With cache=True, previously-seen terms (hits AND misses)
         # resolve driver-side — a repeated query compiles with zero jobs
-        todo = [p for p in pairs if p not in self._term_cache] \
-            if self._cache else pairs
+        # local ref: a concurrent snapshot refresh REPLACES the cache
+        # dict, so this call keeps one consistent view throughout
+        tc = self._term_cache if self._cache else None
+        todo = [p for p in pairs if p not in tc] \
+            if tc is not None else pairs
         if todo:
             got = self._lookup_terms(todo)
-            if self._cache:
+            if tc is not None:
                 with self._lock:
                     for p in todo:
-                        self._term_cache[p] = got.get(p)
+                        tc[p] = got.get(p)
         else:
             got = {}
-        if self._cache:
+        if tc is not None:
             found = {p: v for p in pairs
-                     if (v := self._term_cache[p]) is not None}
+                     if (v := tc.get(p)) is not None}
         else:
             found = got
         rows = []
@@ -962,8 +978,11 @@ class Engine:
             # differ from the kernel's deterministic term-sorted
             # accumulation by one ULP, which would swap exactly-tied
             # neighbors between plans — quantized, ties collapse onto
-            # the doc_id tiebreak identically everywhere
-            okey = F.round(F.col("score") * F.lit(1e9))
+            # the doc_id tiebreak identically everywhere. bround =
+            # HALF_EVEN, the same rounding mode as the kernel's
+            # np.round (F.round is HALF_UP and would disagree at
+            # exact half-quanta)
+            okey = F.bround(F.col("score") * F.lit(1e9))
             pdf = (observed.orderBy(okey.desc(), F.asc("doc_id"))
                    .limit(offset + k).toPandas())
             total_hits, rel = int(obs.get["n"]), "eq"
@@ -1354,14 +1373,27 @@ class Engine:
                         bdf_m, cl_m, cmap_m, mb_m, topn, n_groups, None,
                         memo_hit=True)
                 plan, pparams, ptheta, pshards, kind = hit
-                allpdf = (kernel_core(plan.toPandas(), pparams, None)
-                          if kind == "driver" else plan.toPandas())
+                if kind == "driver":
+                    allpdf = kernel_core(plan.toPandas(), pparams, None)
+                else:
+                    # memo hits honor an armed deadline exactly like
+                    # the cold path: completed shards land in the sink
+                    allpdf = self._collect_kernel(
+                        plan, partial_sink,
+                        (topn, ptheta, n_groups, pshards, 0))
                 return self._finish_blocks(allpdf, topn, ptheta,
                                            n_groups, pshards, 0)
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
+        # column-prune the scoring scan: the kernel never reads
+        # pos_bytes (positions serve the phrase surface only) and the
+        # partition column is spent after pruning — dropping them here
+        # keeps the biggest per-posting payload out of the scan, the
+        # shard shuffle, the Arrow transfer and the cached slices
+        # (drop is a no-op on pre-pos_bytes tables)
         bdf = (self._pruned("blocks", "bucket", buckets)
-               .where(F.col("term_id").isin(terms)))
+               .where(F.col("term_id").isin(terms))
+               .drop("pos_bytes", "bucket"))
         cmap: dict[int, list[tuple[int, float]]] = {}
         for r in clauses.itertuples():
             cmap.setdefault(int(r.term_id), []).append(
@@ -1409,8 +1441,11 @@ class Engine:
         fresh_df = fresh_stats_df(self.spark, clauses)
         adj_ub, _adj_lb = rescaled_bounds()
         ckey = topn if need_theta else None
-        todo = ([t for t in terms if (t, ckey) not in self._block_meta]
-                if self._cache else terms)
+        # local ref (same reason as compile's term cache): one
+        # consistent view even if a snapshot refresh replaces the dict
+        bm = self._block_meta if self._cache else None
+        todo = ([t for t in terms if (t, ckey) not in bm]
+                if bm is not None else terms)
         raw: dict[int, tuple] = {}
         meta_rows = 0
         if todo:
@@ -1426,13 +1461,13 @@ class Engine:
                     float(r["ubm"]), int(r["nb"]), int(r["npost"]),
                     int(r["blo"]), int(r["bhi"]),
                     None if r["lbn"] is None else float(r["lbn"]))
-            if self._cache:
+            if bm is not None:
                 with self._lock:
                     for t, v in raw.items():
-                        self._block_meta[(t, ckey)] = v
-        if self._cache:
-            raw = {t: self._block_meta[(t, ckey)] for t in terms
-                   if (t, ckey) in self._block_meta}
+                        bm[(t, ckey)] = v
+        if bm is not None:
+            raw = {t: bm[(t, ckey)] for t in terms
+                   if (t, ckey) in bm}
         mrows = [{"term_id": t, "ubm": ubm, "nb": nb, "npost": npost,
                   "blo": blo, "bhi": bhi, "lbn": lbn}
                  for t, (ubm, nb, npost, blo, bhi, lbn) in raw.items()]
@@ -1600,25 +1635,30 @@ class Engine:
         if pkey is not None:
             self._plan_put(pkey, (local, None, theta, n_shards,
                                   "dist"))
-        if partial_sink is not None:
-            # deadline-capable collect: shard outputs stream into the
-            # sink as their partitions land, so a job-group cancel
-            # still leaves every completed shard's top-n + sentinel
-            # for the partial-result merge in search(). Slightly more
-            # scheduling overhead than one collect — only paid when a
-            # timeout is armed
-            partial_sink["ctx"] = (topn, theta, n_groups, n_shards,
-                                   meta_rows)
-            rows = partial_sink["rows"]
-            for row in local.toLocalIterator(prefetchPartitions=True):
-                rows.append((row["doc_id"], row["score"], row["n_hits"],
-                             row["n_skipped"], row["n_lossy"]))
-            allpdf = pd.DataFrame(rows, columns=[
-                "doc_id", "score", "n_hits", "n_skipped", "n_lossy"])
-        else:
-            allpdf = local.toPandas()
+        allpdf = self._collect_kernel(
+            local, partial_sink, (topn, theta, n_groups, n_shards,
+                                  meta_rows))
         return self._finish_blocks(allpdf, topn, theta, n_groups,
                                    n_shards, meta_rows)
+
+    def _collect_kernel(self, local: DataFrame, partial_sink,
+                        ctx: tuple) -> pd.DataFrame:
+        """Collect kernel output rows. With a deadline armed
+        (``partial_sink``), shard outputs stream into the sink as
+        their partitions land, so a job-group cancel still leaves
+        every completed shard's top-n + sentinel for the
+        partial-result merge in search(). Slightly more scheduling
+        overhead than one collect — only paid when a timeout is
+        armed."""
+        if partial_sink is None:
+            return local.toPandas()
+        partial_sink["ctx"] = ctx
+        rows = partial_sink["rows"]
+        for row in local.toLocalIterator(prefetchPartitions=True):
+            rows.append((row["doc_id"], row["score"], row["n_hits"],
+                         row["n_skipped"], row["n_lossy"]))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "score", "n_hits", "n_skipped", "n_lossy"])
 
     def _topk_blocks_local(self, bdf: DataFrame, clauses: pd.DataFrame,
                            cmap: dict, max_boost: dict, topn: int,

@@ -538,3 +538,38 @@ def test_cached_engine_detects_new_snapshot(spark, tmp_path):
             assert path not in set(r2.hits.get("path", [])), mode
     finally:
         eng.close()
+
+
+def test_upsert_into_pre_pos_bytes_blocks_stays_consistent(spark, tmp_path):
+    """Review r4: appending pos_bytes-bearing blocks beside an old
+    (position-free) blocks table would make the inferred schema depend
+    on which footer Spark samples — upsert must keep the table
+    schema-consistent (drop pos_bytes) and phrase queries must fall
+    back to the row surface, correct as ever."""
+    from mias_spec import corpus as C
+
+    from mias_spark.build import build_index
+    from mias_spark.catalog import Catalog
+    from mias_spark.ops import upsert
+    from mias_spark.search import Engine
+    ix = str(tmp_path / "ixold")
+    build_index(spark, spark.createDataFrame(C.make_corpus(40)), ix,
+                n_buckets=2)
+    cat = Catalog(spark, ix)
+    # simulate a pre-round-4 index: rewrite blocks without pos_bytes
+    old = cat.read("blocks").drop("pos_bytes")
+    cat.overwrite(old, "blocks", ["bucket"])
+    assert "pos_bytes" not in cat.read("blocks").columns
+    upsert(spark, ix, spark.createDataFrame(C.make_corpus(60).iloc[40:]))
+    # still uniform: the delta segment was aligned to the old schema
+    assert "pos_bytes" not in cat.read("blocks").columns
+    eng = Engine(spark, ix)
+    assert not eng._blocks_pos
+    # phrase + term queries still answer correctly in blocks mode
+    # (phrases via the row-surface fallback), rank-identical to df
+    for q in ('"items total"', "energy", 'partition "items total"'):
+        ref = eng.search(q, k=10, mode="df", with_fields=False)
+        got = eng.search(q, k=10, mode="blocks", with_fields=False)
+        assert len(ref.hits), q
+        assert [int(d) for d in got.hits["doc_id"]] == \
+            [int(d) for d in ref.hits["doc_id"]], q

@@ -96,7 +96,7 @@ def main() -> None:
                 F.bit_or(F.expr("shiftleft(1L, grp)")).alias("_gm"))
            .where(F.col("_gm") == full).drop("_gm"))
     observed = agg.observe(obs, F.count(F.lit(1)).alias("n"))
-    okey = F.round(F.col("score") * F.lit(1e9))
+    okey = F.bround(F.col("score") * F.lit(1e9))
     top = (observed.orderBy(okey.desc(), F.asc("doc_id")).limit(10))
     sections.append((
         "Conjunction bitmask + single-pass exact totals (df mode)",
