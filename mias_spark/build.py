@@ -232,7 +232,8 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
     psize = plan_size_bytes(posts) or 0
     pack_width = int(max(par, min(
         4 * par, psize // n_chunks // BYTES_PER_TASK + 1)))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic partition overwrite is scoped inside
+    # Catalog.overwrite_partitions (set + restore per write)
     for c0 in range(0, n_buckets, chunk):
         todo = [b for b in range(c0, min(c0 + chunk, n_buckets))
                 if not cat.checkpoint_done("blocks", f"bucket={b}")]

@@ -201,9 +201,12 @@ class Catalog:
                              partition_by: list[str]) -> None:
         """Dynamic partition overwrite: replace only the partitions
         present in ``df`` (the chunked blocks build writes a few term
-        buckets per job). Caller must set
-        spark.sql.sources.partitionOverwriteMode=dynamic for the
-        parquet binding; Iceberg has native overwritePartitions()."""
+        buckets per job). The parquet binding scopes
+        partitionOverwriteMode=dynamic to THIS write and restores the
+        prior value — leaving it set session-globally would silently
+        turn later whole-table overwrites into partial ones (stale
+        partitions surviving a rebuild). Iceberg has native
+        overwritePartitions()."""
         if self._iceberg_ns():
             # create only when the table genuinely doesn't exist — a
             # blanket fallback to createOrReplace on ANY error (commit
@@ -215,8 +218,17 @@ class Catalog:
                 df.writeTo(self._ident(table)).overwritePartitions()
             return
         self._remember_schema(df, table)
-        (df.write.mode("overwrite").partitionBy(*partition_by)
-         .parquet(self.path(table)))
+        key = "spark.sql.sources.partitionOverwriteMode"
+        try:
+            prev = self.spark.conf.get(key)
+        except Exception:
+            prev = "static"
+        self.spark.conf.set(key, "dynamic")
+        try:
+            (df.write.mode("overwrite").partitionBy(*partition_by)
+             .parquet(self.path(table)))
+        finally:
+            self.spark.conf.set(key, prev or "static")
 
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:

@@ -67,17 +67,22 @@ def live_store(cat: Catalog) -> DataFrame:
 
 
 def _compat_blocks(cat: Catalog, packed: DataFrame) -> DataFrame:
-    """Keep a pre-pos_bytes blocks table schema-consistent: appending
-    the new positions column beside old files would make reads
-    nondeterministic (the hot path reads without mergeSchema, so the
-    inferred schema would depend on which footer Spark samples — and a
-    sampled pos_bytes would surface as None on old rows, crashing the
-    phrase decode). Such indexes keep the row surface for phrases; a
-    full `optimize` rebuilds the table and upgrades it to positions."""
+    """Keep an existing blocks table schema-consistent: appending NEW
+    columns (pos_bytes — round 4; idf0/avgdl0 — round 2) beside older
+    files would make reads nondeterministic (the hot path reads
+    without mergeSchema, so the inferred schema depends on which
+    footer Spark samples; a sampled-in pos_bytes surfaces as None on
+    old rows and crashes the phrase decode, a sampled-out idf0 hides
+    the delta segments' rescale stats). Dropping the extras keeps the
+    table on its legacy semantics — the engine already handles each
+    absent column; a full `optimize` rebuilds and upgrades the
+    schema."""
     try:
-        if cat.has_table("blocks") and \
-                "pos_bytes" not in cat.read("blocks").columns:
-            return packed.drop("pos_bytes")
+        if cat.has_table("blocks"):
+            existing = set(cat.read("blocks").columns)
+            extra = [c for c in packed.columns if c not in existing]
+            if extra:
+                return packed.drop(*extra)
     except Exception:
         pass
     return packed
@@ -411,10 +416,17 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     cat.commit_table("blocks")
     cat.flush_meta()
 
-    n_new = new_corpus.count()
-    cat.metric("upsert", added=n_new, replaced=n_replaced)
+    # n_assigned counts the rows that actually got ids — re-counting
+    # new_corpus would re-execute the whole input source (zip
+    # expansion, XML parse) for a metric
+    cat.metric("upsert", added=n_assigned, replaced=n_replaced)
+    # reclaim the staging segments (delta corpus content included —
+    # leaving them doubles the delta's footprint until the next op)
+    for t in ("_staging_replaced", "_staging_delta_store",
+              "_staging_delta_toks", "_staging_dead_toks"):
+        cat.drop(t)
     maybe_compact(spark, index_dir)
-    return {"added": n_new, "replaced": n_replaced}
+    return {"added": n_assigned, "replaced": n_replaced}
 
 
 # -------------------------------------------------------------------- delete
@@ -423,7 +435,11 @@ def delete_by_path(spark: SparkSession, index_dir: str,
                    path_prefix: str) -> int:
     """Recursive delete by path (S6, Indexing.java:211-241). Metadata
     only — tombstones + stats refresh; no posting data moves (Lucene
-    liveDocs semantics; `optimize` reclaims the space)."""
+    liveDocs semantics; `optimize` reclaims the space).
+
+    ``path_prefix`` is a RAW string prefix (the reference's recursive
+    delete semantics): deleting a directory should pass a trailing
+    slash ('src/dir/'), or 'src/dir' will also match 'src/dir2/...'."""
     cat = Catalog(spark, index_dir)
     cat.write(live_store(cat).where(F.col("path").startswith(path_prefix))
               .select("doc_id"), "_staging_doomed")
@@ -437,6 +453,8 @@ def delete_by_path(spark: SparkSession, index_dir: str,
     _apply_stats_delta(cat, {}, minus)
     cat.flush_meta()
     cat.metric("delete", removed=n, path_prefix=path_prefix)
+    for t in ("_staging_doomed", "_staging_dead_toks"):
+        cat.drop(t)
     maybe_compact(spark, index_dir)
     return n
 
@@ -532,7 +550,6 @@ def compact_step(spark: SparkSession, index_dir: str,
                  / (F.col("df") + 0.5)))
              .select("term_id", "field", "doc_id", "tf", "wsum", "dl",
                      "df", "idf", "avgdl", "positions", "bucket"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     n_out = max(len(todo), spark.sparkContext.defaultParallelism)
     # stage the cleaned slice first: the dynamic partition overwrite
     # cannot read from the path it is rewriting (the full overwrite()
@@ -683,9 +700,14 @@ def explode_formula_docs(corpus: DataFrame) -> DataFrame:
                 for i, el in enumerate(extract_math_elements(content)):
                     fid = f"{path}#f{i + 1}"   # setFormulaPosition(i+1)
                     xml = ET.tostring(el, encoding="unicode")
+                    # fid derives from the corpus path — escape it or
+                    # a path containing & / < breaks the wrapper's XML
+                    # and silently degrades the title field to the
+                    # regex-fallback parse
+                    from xml.sax.saxutils import escape
                     doc = ('<?xml version="1.0"?>'
                            '<html xmlns="http://www.w3.org/1999/xhtml">'
-                           f"<head><title>{fid}</title></head>"
+                           f"<head><title>{escape(fid)}</title></head>"
                            f"<body>{xml}</body></html>")
                     rows.append((repo, fid, commit, "xhtml", doc))
             yield pd.DataFrame(rows, columns=[

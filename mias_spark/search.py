@@ -19,6 +19,7 @@ Two physical plans, rank-identical by construction:
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 import numpy as np
@@ -40,6 +41,9 @@ _SHARD_POSTINGS = 1 << 18
 
 CLAUSE_SCHEMA = ("term_id long, grp int, boost double, idf double, "
                  "avgdl double, bucket int")
+
+#: monotonically increasing per-process sequence for job-group nonces
+_search_seq = itertools.count()
 
 
 @dataclass
@@ -192,12 +196,19 @@ def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
         for es in cmap_l.values():
             for g2, _ in es:
                 full_mask |= 1 << g2
+        # the completion bitmask shifts int64 by the GROUP ID, so the
+        # floor is only sound while every id stays below the sign bit
+        # (gm alone does not bound the ids: grp=63 passes gm<=2^62 but
+        # 1<<63 overflows and full_mask can never match — the floor
+        # would silently never engage)
+        max_grp = max((g2 for es in cmap_l.values() for g2, _ in es),
+                      default=0)
         for gi, g in enumerate(grp_order):
             is_last = gi == len(grp_order) - 1
             rows_g = other_by_grp[g]
             theta_c = 0.0
             pdocs = psum = pmask = None
-            if (is_last and not h_allow and gm <= (1 << 62)
+            if (is_last and not h_allow and max_grp < 63
                     and acc_docs and len(cand)):
                 pdocs, psum, pmask = _merge_partials(
                     acc_docs, acc_grps, acc_scores, gm)
@@ -813,7 +824,11 @@ class Engine:
         if timeout_s is not None:
             import threading
             sc = self.spark.sparkContext
-            group = f"mias-search-{id(self)}-{threading.get_ident()}"
+            # per-call nonce: a timer callback that fires in the gap
+            # between a search finishing and timer.cancel() must not
+            # cancel the NEXT search's identically-named group
+            group = (f"mias-search-{id(self)}-{threading.get_ident()}"
+                     f"-{next(_search_seq)}")
             sc.setJobGroup(group, query_text[:80], interruptOnCancel=True)
             fired = threading.Event()
             sink: dict = {"rows": [], "ctx": None}
@@ -901,12 +916,26 @@ class Engine:
             # kernel; it runs this aggregation plan in both modes, with
             # the phrase frames sourced from the mode's surface (blocks
             # mode: zero postings-row scans in the executed plan).
-            # The aggregated scoring plan is memoized per processed
-            # query (prepared statement: every input — clauses, phrase
-            # frames, tombstones — is a constant of the pinned
-            # snapshot); each call still runs a fresh job.
-            dkey = (("df", processed, variant, surface)
-                    if self._cache else None)
+            # The aggregated scoring plan is memoized per EXACT query
+            # fingerprint — full-precision clause boosts + phrase and
+            # prohibited structure (the human-readable `processed`
+            # string rounds boosts to 3 significant digits, which
+            # could collide two different weightings onto one cached
+            # plan). Per-term idf/avgdl derive from the pinned
+            # snapshot, so they need no keying; each hit still runs a
+            # fresh job.
+            dkey = None
+            if self._cache:
+                cfp = tuple(sorted(
+                    (int(r.term_id), int(r.grp), float(r.boost))
+                    for r in clauses.itertuples()))
+                pfp = tuple(sorted(
+                    (int(p["grp"]), p["fld"], tuple(p["terms"]),
+                     float(p["boost"])) for p in pplan["must"]))
+                nfp = tuple(sorted((p["fld"], tuple(p["terms"]))
+                                   for p in pplan["must_not"]))
+                dkey = ("df", cfp, pfp, nfp,
+                        tuple(pplan["banned_tids"]), n_groups, surface)
             agg = self._plan_get(dkey) if dkey else None
             if agg is None:
                 parts = []
