@@ -573,3 +573,30 @@ def test_upsert_into_pre_pos_bytes_blocks_stays_consistent(spark, tmp_path):
         assert len(ref.hits), q
         assert [int(d) for d in got.hits["doc_id"]] == \
             [int(d) for d in ref.hits["doc_id"]], q
+
+
+def test_staging_reclaimed_and_overwrite_mode_restored(spark, tmp_path):
+    """Review r4: upsert/delete drop their staging segments when done,
+    and dynamic partition overwrite stays SCOPED to the catalog write
+    (a session-global leftover would turn later whole-table overwrites
+    into partial ones)."""
+    import os
+
+    from mias_spec import corpus as C
+
+    from mias_spark.build import build_index
+    from mias_spark.ops import delete_by_path, upsert
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    ix = str(tmp_path / "ixstage")
+    build_index(spark, spark.createDataFrame(C.make_corpus(30)), ix,
+                n_buckets=2)
+    upsert(spark, ix, spark.createDataFrame(C.make_corpus(40).iloc[30:]))
+    delete_by_path(spark, ix, "src/dir1/")
+    for t in ("_staging_replaced", "_staging_delta_store",
+              "_staging_delta_toks", "_staging_dead_toks",
+              "_staging_doomed"):
+        assert not os.path.exists(os.path.join(ix, t)), t
+    # the chunked blocks build + compaction both use dynamic partition
+    # overwrite internally; the session conf must come back unchanged
+    assert spark.conf.get(key) == "static"
