@@ -275,6 +275,96 @@ IR_DELETE_SEMANTICS_SQL = """
 """
 
 
+# --------------------------------------------------- engine end-to-end
+# The rows above restate the scoring pipeline in plain DataFrame ops;
+# these two entries put the PRODUCT PATH itself behind the independent
+# DuckDB gate (VERDICT r4 #1; reference analog: CI runs the real `mias`
+# binary, script/github-test:5-9): a real build_index over the
+# documents table, then Engine.search through each physical plan. The
+# engine's dense doc_ids are mapped back to source ids via the path
+# column, and ranking is recomputed on (rounded score, source doc_id)
+# so tie order is independent of the engine's internal id assignment.
+
+#: sf_dir -> built index dir (one build per process, shared by both
+#: engine entries and any repeat invocation)
+_ENGINE_IX: dict[str, str] = {}
+
+
+def _engine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> corpus(repo, path, commit, lang, content); the
+    source doc_id is recoverable from the path."""
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("corpus/"), "source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"))
+
+
+def _engine_index(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mias_spark.build import build_index
+    key = sf_dir.rstrip("/")
+    ix = _ENGINE_IX.get(key)
+    if ix is None:
+        h = hashlib.sha256(key.encode()).hexdigest()[:12]
+        ix = os.path.join(tempfile.gettempdir(), f"mias_oracle_ix_{h}")
+        # a leftover dir from a prior process may not match the data
+        shutil.rmtree(ix, ignore_errors=True)
+        build_index(spark, _engine_corpus(spark, sf_dir), ix, n_buckets=4)
+        _ENGINE_IX[key] = ix
+    return ix
+
+
+def _engine_search_topk(spark: SparkSession, sf_dir: str, query: str,
+                        mode: str) -> DataFrame:
+    from mias_spark.search import Engine
+    ix = _engine_index(spark, sf_dir)
+    eng = Engine(spark, ix)
+    # k >> corpus so the hit SET is complete (tie order at a top-k
+    # boundary would otherwise depend on internal ids); text docs have
+    # an empty title, so a bare term scores exactly its content clause
+    res = eng.search(query, k=1_000_000, mode=mode, with_fields=True)
+    hits = res.hits
+    if not len(hits):
+        return spark.createDataFrame(
+            [], "doc_id long, score double, rank int")
+    sdf = spark.createDataFrame(hits[["path", "score"]])
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (sdf.select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1)
+        .cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20))
+
+
+def ir_engine_topk(spark, sf_dir):
+    """Real Engine.search, df plan (Catalyst scorer): single-term BM25
+    top-20 over an index built from the documents table."""
+    return _engine_search_topk(spark, sf_dir, "spark", "df")
+
+
+IR_ENGINE_TOPK_SQL = _bm25_sql(["spark"], False)
+
+
+def ir_engine_topk_blocks(spark, sf_dir):
+    """Real Engine.search, blocks plan (packed delta-gap varint blocks
+    + numpy kernel): the query compiler makes every bare term a MUST
+    group, so 'spark join merge' is a 3-way conjunction with summed
+    scores."""
+    return _engine_search_topk(spark, sf_dir, "spark join merge",
+                               "blocks")
+
+
+IR_ENGINE_TOPK_BLOCKS_SQL = _bm25_sql(["spark", "join", "merge"], True)
+
+
 # ------------------------------------------------------------------- dedup
 
 def dedup_exact(spark, sf_dir):
@@ -1235,6 +1325,9 @@ REGISTRY: dict[str, tuple] = {
     "ir_bm25_conjunctive": (ir_bm25_conjunctive, IR_BM25_CONJUNCTIVE_SQL),
     "ir_phrase": (ir_phrase, IR_PHRASE_SQL),
     "ir_delete_semantics": (ir_delete_semantics, IR_DELETE_SEMANTICS_SQL),
+    "ir_engine_topk": (ir_engine_topk, IR_ENGINE_TOPK_SQL),
+    "ir_engine_topk_blocks": (ir_engine_topk_blocks,
+                              IR_ENGINE_TOPK_BLOCKS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
