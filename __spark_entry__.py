@@ -15,11 +15,13 @@ pytest-gated on a clustered fixture), text analysis
 columns (metadata parse, Arrow feature extraction, frame sampling) and
 relational coverage (TPC-H q1/q3ish, windowed event rollups).
 
-Non-SQL-expressible entries (math M-term pipelines over the synthesized
-MathML corpus — custom Arrow UDF pipelines — and the Structured
-Streaming ingest) have no oracle_sql and get the driver's rows-only
-check; their real gate is tests/ (rank identity vs the pandas oracle,
-stream-vs-batch equivalence).
+The engine product path itself is oracle-gated end-to-end
+(ir_engine_topk / ir_engine_topk_blocks run a real build_index +
+Engine.search per physical plan) and so is the Structured Streaming
+MERGE ingest (stream_ingest). Non-SQL-expressible entries (math M-term
+pipelines over the synthesized MathML corpus — custom Arrow UDF
+pipelines) have no oracle_sql and get the driver's rows-only check;
+their real gate is tests/ (rank identity vs the pandas oracle).
 """
 
 from __future__ import annotations
@@ -95,11 +97,17 @@ def _math_formula_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Structured Streaming micro-batch ingest — readStream
-    over a corpus drop-dir -> foreachBatch -> the delta-only MERGE
-    upsert; returns the final live doc_store keys (oracle = pytest
-    tests/test_streaming.py, which checks rank identity vs a batch
-    build of the same union)."""
+    """Structured Streaming micro-batch ingest, DuckDB-oracled: the
+    documents table maps to a corpus; docs 100..299 bootstrap the index
+    (batch build_index), then readStream over a drop-dir feeds ONE
+    delta through foreachBatch -> the delta-only MERGE upsert: docs
+    >= 300 and < 100 are NEW keys, and docs 100..199 REARRIVE with
+    modified content under the same (repo, path, commit) key — the
+    MERGE must replace them, not duplicate them. Returns the live
+    doc_store keys + the per-row content sha256 ingest invariant;
+    STREAM_INGEST_SQL states the expected union-distinct-by-key
+    directly over the documents table (stream-vs-batch RANK identity
+    on a math corpus stays pytest-gated, tests/test_streaming.py)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -108,21 +116,50 @@ def _stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mias_spark.ops import live_store
     from mias_spark.search import Engine
     from mias_spark.streaming import stream_upsert
-    from mias_spec.corpus import make_corpus
 
     root = os.path.join(tempfile.gettempdir(), "mias_stream_entry")
     shutil.rmtree(root, ignore_errors=True)
     ix, src = os.path.join(root, "ix"), os.path.join(root, "incoming")
     os.makedirs(src)
-    c = make_corpus(60)
-    build_index(spark, spark.createDataFrame(c.iloc[:40]), ix, n_buckets=2)
-    spark.createDataFrame(c.iloc[40:]).coalesce(1) \
-        .write.mode("append").parquet(src)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def corpus_of(df, content_col):
+        return df.select(
+            F.concat(F.lit("corpus/"), "source").alias("repo"),
+            F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"),
+                     F.lit(".txt")).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.lit("text").alias("lang"),
+            content_col.alias("content"))
+
+    base = corpus_of(
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)),
+        F.col("text"))
+    delta = corpus_of(
+        docs.where((F.col("doc_id") >= 300) | (F.col("doc_id") < 200)),
+        F.when(F.col("doc_id").between(100, 199),
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    build_index(spark, base, ix, n_buckets=2)
+    delta.coalesce(1).write.mode("append").parquet(src)
     stream_upsert(spark, ix, src, trigger_available_now=True)
     eng = Engine(spark, ix)
     return (live_store(eng.cat)
             .select("doc_key", "path", "content_sha256")
             .orderBy(F.asc("doc_key")))
+
+
+STREAM_INGEST_SQL = """
+    WITH c AS (
+      SELECT sha256(concat('corpus/', source, '|docs/doc_', doc_id,
+                           '.txt|', repeat('0', 40))) AS doc_key,
+             concat('docs/doc_', doc_id, '.txt') AS path,
+             sha256(CASE WHEN doc_id BETWEEN 100 AND 199
+                         THEN text || ' v2' ELSE text END)
+               AS content_sha256
+      FROM documents)
+    SELECT doc_key, path, content_sha256 FROM c ORDER BY doc_key
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -137,5 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items()
-            if sql is not None}
+    out = {name: sql for name, (_fn, sql) in REGISTRY.items()
+           if sql is not None}
+    out["stream_ingest"] = STREAM_INGEST_SQL
+    return out
