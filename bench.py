@@ -96,6 +96,7 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
         ("search_math_df", math_q, "df"),
         ("search_math_blocks", math_q, "blocks"),
         ("search_phrase_df", '"items total" -momentum', "df"),
+        ("search_phrase_blocks", '"items total" -momentum', "blocks"),
     ]
     # cold latency: fresh Engine per repeat (no memoized dictionary
     # lookups / persisted partitions carried between timings)
@@ -113,6 +114,17 @@ def run(sf_dir: str, cpus: str, keep_stderr: bool = False) -> dict:
               lambda q=q, mode=mode: eng.search(q, k=20, mode=mode,
                                                 with_fields=False))
     eng.close()   # release persisted tables before the pipeline ops
+
+    # incremental maintenance on the measured path (round-5): one MERGE
+    # upsert re-delivering 250 docs with changed content (tombstone +
+    # delta segments, cost scales with the delta), then one bounded
+    # compaction step over the resulting tombstones
+    from mias_spark.ops import compact_step, upsert
+    delta = text_corpus.limit(250).withColumn(
+        "content", F.concat("content", F.lit(" upserted")))
+    timed("upsert", lambda: upsert(spark, ix, delta))
+    # each step does different (bounded) work — a single timed call
+    timed("compact_step", lambda: compact_step(spark, ix), repeats=1)
 
     for op in ("dedup_minhash", "ann_cosine_topk", "ann_bucketed_topk",
                "tpch_q1"):

@@ -64,7 +64,8 @@ _COLS = ["term_id", "salt", "block_ord", "n_docs", "first_doc",
          "tf_bytes", "dl_bytes", "w_bytes", "pos_bytes"]
 
 
-def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
+def _pack_frame(g: pd.DataFrame, with_positions: bool = True
+                ) -> pd.DataFrame:
     """Pack a (term_id, salt, doc_id)-sorted frame into block rows —
     fully vectorized: group/block boundaries via numpy masks, block-max
     via maximum.reduceat, ONE varint encode per column per frame with
@@ -75,8 +76,9 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
     salt = g["salt"].to_numpy(np.int64)
     docs = g["doc_id"].to_numpy(np.int64)
     tfs = g["tf"].to_numpy(np.int64)
-    pos_flat = np.concatenate(
+    pos_flat = (np.concatenate(
         [np.asarray(p, dtype=np.int64) for p in g["positions"]])
+        if with_positions else None)
     dls = g["dl"].to_numpy(np.int64)
     ws = g["wsum"].to_numpy(np.float64)
     idf = g["idf"].to_numpy(np.float64)
@@ -118,16 +120,24 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
     # cross-block or cross-doc dependency), gaps within a doc (>= 0:
     # unified M-term variants share positions). len(positions) == tf,
     # so the decoder recovers per-doc runs from tf_bytes alone.
-    pstarts = np.cumsum(tfs) - tfs            # row -> first flat pos
-    pgaps = np.empty(len(pos_flat), dtype=np.int64)
-    pgaps[0] = pos_flat[0]
-    pgaps[1:] = pos_flat[1:] - pos_flat[:-1]
-    pgaps[pstarts] = pos_flat[pstarts]
-    assert (pgaps >= 0).all(), "positions must be non-decreasing per doc"
-    pos_bytes = codec.encode_varints_split(pgaps.astype(np.uint64),
-                                           pstarts[bstart])
+    # ``with_positions=False`` is the bench-attribution path (VERDICT
+    # r4 #3): it skips the position encode entirely so the feature's
+    # build cost is a measured number — tables built this way omit the
+    # column and the engine serves phrases from the row surface.
+    if with_positions:
+        pstarts = np.cumsum(tfs) - tfs        # row -> first flat pos
+        pgaps = np.empty(len(pos_flat), dtype=np.int64)
+        pgaps[0] = pos_flat[0]
+        pgaps[1:] = pos_flat[1:] - pos_flat[:-1]
+        pgaps[pstarts] = pos_flat[pstarts]
+        assert (pgaps >= 0).all(), \
+            "positions must be non-decreasing per doc"
+        pos_bytes = codec.encode_varints_split(pgaps.astype(np.uint64),
+                                               pstarts[bstart])
+    else:
+        pos_bytes = None
 
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "term_id": term[bstart], "salt": salt[bstart].astype(np.int32),
         "block_ord": block_ord.astype(np.int32),
         "n_docs": (bend - bstart).astype(np.int32),
@@ -147,17 +157,13 @@ def _pack_frame(g: pd.DataFrame) -> pd.DataFrame:
         "tf_bytes": tf_bytes, "dl_bytes": dl_bytes, "w_bytes": w_bytes,
         "pos_bytes": pos_bytes,
     }, columns=_COLS)
+    if not with_positions:
+        out = out.drop(columns=["pos_bytes"])
+    return out
 
 
-def pack_sorted_partition(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: input rows sorted by (term_id, salt, doc_id)
-    within the partition, carrying precomputed ``idf`` and ``avgdl``
-    columns (joined from dictionary + field stats — keeps the kernel
-    stateless and the stage fully distributed; no driver-side term dicts
-    at 10^12 scale). Emits packed blocks. Arrow batches may split a
-    term's run, so runs are carried across batch boundaries."""
+def _pack_iter(batches: Iterator[pd.DataFrame], with_positions: bool
+               ) -> Iterator[pd.DataFrame]:
     carry: pd.DataFrame | None = None
     for pdf in batches:
         if carry is not None:
@@ -171,9 +177,34 @@ def pack_sorted_partition(
         carry = pdf[tail]
         head = pdf[~tail]
         if len(head):
-            yield _pack_frame(head)
+            yield _pack_frame(head, with_positions)
     if carry is not None and not carry.empty:
-        yield _pack_frame(carry)
+        yield _pack_frame(carry, with_positions)
+
+
+def pack_sorted_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: input rows sorted by (term_id, salt, doc_id)
+    within the partition, carrying precomputed ``idf`` and ``avgdl``
+    columns (joined from dictionary + field stats — keeps the kernel
+    stateless and the stage fully distributed; no driver-side term dicts
+    at 10^12 scale). Emits packed blocks. Arrow batches may split a
+    term's run, so runs are carried across batch boundaries."""
+    yield from _pack_iter(batches, True)
+
+
+#: bench-attribution variant (VERDICT r4 #3): identical pack minus the
+#: position encode; the emitted table has NO pos_bytes column, so the
+#: engine detects it (`_blocks_pos` False) and serves phrases from the
+#: postings rows — exactly the round-3 format.
+BLOCKS_SCHEMA_NOPOS = BLOCKS_SCHEMA.replace(", pos_bytes binary", "")
+
+
+def pack_sorted_partition_nopos(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    yield from _pack_iter(batches, False)
 
 
 def unpack_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -56,6 +56,7 @@ def build_index(
     doc_limit: int | None = None,
     resume: bool = True,
     doc_seg_shift: int = DOC_SEG_SHIFT,
+    pack_positions: bool = True,
 ) -> Catalog:
     """Build a full index from a corpus(repo, path, commit, lang,
     content) DataFrame. Idempotent and resumable when ``resume``."""
@@ -183,7 +184,7 @@ def build_index(
         cat.metric("postings", secs=time.time() - ts)
 
     # -------------------------------------------------------------- blocks
-    build_blocks(spark, cat, n_buckets)
+    build_blocks(spark, cat, n_buckets, pack_positions=pack_positions)
     if not cat.table_done("blocks"):
         cat.commit_table("blocks")
 
@@ -218,7 +219,8 @@ def _dbucket():
 
 
 def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
-                 chunk: int | None = None) -> None:
+                 chunk: int | None = None,
+                 pack_positions: bool = True) -> None:
     """Pack postings into compressed blocks, a chunk of term buckets per
     Spark job. Checkpoints stay PER BUCKET (the north-rule per-partition
     resume unit — a killed build redoes only unfinished buckets), but
@@ -241,10 +243,14 @@ def build_blocks(spark: SparkSession, cat: Catalog, n_buckets: int,
             continue
         ts = time.time()
         sub = _salted(posts.where(F.col("bucket").isin(todo)))
+        pack_fn = (blk.pack_sorted_partition if pack_positions
+                   else blk.pack_sorted_partition_nopos)
+        schema = (blk.BLOCKS_SCHEMA if pack_positions
+                  else blk.BLOCKS_SCHEMA_NOPOS)
         packed = (
             sub.repartition(pack_width, "term_id", "salt")
             .sortWithinPartitions("term_id", "salt", "doc_id")
-            .mapInPandas(blk.pack_sorted_partition, blk.BLOCKS_SCHEMA)
+            .mapInPandas(pack_fn, schema)
             .withColumn("bucket",
                         F.pmod("term_id", F.lit(n_buckets)).cast("int"))
         )

@@ -87,13 +87,176 @@ def _merge_partials(acc_docs, acc_grps, acc_scores, gm):
     return pdocs, psum, pmask
 
 
+def _phrase_prepass(pdf: pd.DataFrame, phr: dict, dead_l,
+                    lo_l: int, span_l: int, ns: int, gm: int):
+    """Fused phrase/ban pre-pass (VERDICT r4 #2): decode the phrase and
+    banned TERM blocks that ride the scoring kernel's own shard —
+    positions, adjacency, MUST_NOT exclusion and the per-group phrase
+    scores all happen inside the one applyInPandas, replacing the two
+    extra Python stages (_positions_from_blocks + the allowlist agg)
+    the round-4 plan paid per phrase query. Returns (dead_all,
+    allow_docs, allow_ps): dead_all unions tombstones, banned-term
+    docs and MUST_NOT-phrase matches (sorted unique); allow_* carry
+    the docs matching EVERY MUST phrase group with their summed
+    phrase scores (PhraseClause spec, mias_spec.queries)."""
+    from mias_spec import codec as C
+    ptids, banned = phr["ptids"], phr["banned_set"]
+    store: dict[int, list] = {}
+    dead_parts = ([dead_l] if dead_l is not None and len(dead_l)
+                  else [])
+    for row in pdf.itertuples():
+        t = int(row.term_id)
+        in_p, in_b = t in ptids, t in banned
+        if not (in_p or in_b):
+            continue
+        n = int(row.n_docs)
+        docs = C.decode_doc_ids(row.doc_bytes, n)
+        mask = ((docs - lo_l) * ns // span_l) == row.shard
+        if in_b and mask.any():
+            dead_parts.append(docs[mask])
+        if in_p:
+            tfs = C.decode_varints(row.tf_bytes, n).astype(np.int64)
+            flat = blk.unpack_positions(row, tfs)
+            dls = C.decode_varints(row.dl_bytes, n).astype(np.int64)
+            if not mask.all():
+                flat = flat[np.repeat(mask, tfs)]
+                docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+            if len(docs):
+                store.setdefault(t, []).append((docs, tfs, dls, flat))
+    # per term: concatenate blocks + sort by doc (a live doc appears in
+    # exactly one block per term — segments have disjoint doc ranges)
+    cat: dict[int, tuple] = {}
+    for t, parts in store.items():
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        flat = np.concatenate([p[3] for p in parts])
+        starts = np.cumsum(tfs) - tfs
+        order = np.argsort(docs, kind="stable")
+        lens = tfs[order]
+        offs = np.repeat(starts[order], lens)
+        within = (np.arange(int(lens.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(lens) - lens, lens))
+        cat[t] = (docs[order], lens, dls[order], flat[offs + within],
+                  np.cumsum(lens) - lens)
+
+    _E = (np.empty(0, np.int64), np.empty(0, np.int64),
+          np.empty(0, np.int64))
+
+    def match(tids):
+        """(docs, ptf, dl) of shard docs where the terms occur at
+        consecutive positions — the same chained array-intersect the
+        df plan runs, on in-kernel decoded runs."""
+        es = []
+        for t in tids:
+            e = cat.get(int(t))
+            if e is None:
+                return _E
+            es.append(e)
+        cand = es[0][0]
+        for e in es[1:]:
+            d = e[0]
+            if not len(d) or not len(cand):
+                return _E
+            ix = np.searchsorted(d, cand)
+            ix[ix == len(d)] = 0
+            cand = cand[d[ix] == cand]
+        kdocs, kptf, kdl = [], [], []
+        d0, tf0, dl0, fl0, st0 = es[0]
+        for doc in cand:
+            i0 = int(np.searchsorted(d0, doc))
+            P = fl0[st0[i0]:st0[i0] + tf0[i0]]
+            for e in es[1:]:
+                i = int(np.searchsorted(e[0], doc))
+                P = np.intersect1d(P + 1, e[3][e[4][i]:e[4][i] + e[1][i]])
+                if not len(P):
+                    break
+            if len(P):
+                kdocs.append(doc)
+                kptf.append(len(P))
+                kdl.append(dl0[i0])
+        if not kdocs:
+            return _E
+        return (np.array(kdocs, np.int64), np.array(kptf, np.int64),
+                np.array(kdl, np.int64))
+
+    for tids in phr["mustnot"]:
+        d, _ptf, _dl = match(tids)
+        if len(d):
+            dead_parts.append(d)
+    dead_all = (np.unique(np.concatenate(dead_parts))
+                if dead_parts else None)
+    adoc, agrp, asc = [], [], []
+    for grp, tids, idf_p, avgdl_p, w, boost in phr["must"]:
+        d, ptf, dl = match(tids)
+        if not len(d):
+            continue
+        ptf_f = ptf.astype(np.float64)
+        s = ((boost * w * idf_p) * ptf_f * (BM25_K1 + 1.0)
+             / (ptf_f + BM25_K1 * (1.0 - BM25_B
+                                   + BM25_B * dl / avgdl_p)))
+        adoc.append(d)
+        agrp.append(np.full(len(d), grp, np.int64))
+        asc.append(s)
+    allow_docs = np.empty(0, np.int64)
+    allow_ps = np.empty(0, np.float64)
+    n_pg = phr["n_pg"]
+    if adoc and n_pg:
+        docs_a = np.concatenate(adoc)
+        grps_a = np.concatenate(agrp)
+        sc_a = np.concatenate(asc)
+        uk, inv = np.unique(docs_a * gm + grps_a, return_inverse=True)
+        gsum = np.zeros(len(uk))
+        np.add.at(gsum, inv, sc_a)
+        pdocs, dinv = np.unique(uk // gm, return_inverse=True)
+        psum = np.zeros(len(pdocs))
+        np.add.at(psum, dinv, gsum)
+        gcnt = np.zeros(len(pdocs), np.int64)
+        np.add.at(gcnt, dinv, 1)
+        ok = gcnt == n_pg
+        allow_docs, allow_ps = pdocs[ok], psum[ok]
+        if dead_all is not None and len(allow_docs):
+            ix = np.searchsorted(dead_all, allow_docs)
+            ix[ix == len(dead_all)] = 0
+            m = dead_all[ix] != allow_docs
+            allow_docs, allow_ps = allow_docs[m], allow_ps[m]
+    return dead_all, allow_docs, allow_ps
+
+
 def kernel_core(pdf: pd.DataFrame, params: tuple, dead_l,
                 allow_docs=None, allow_ps=None) -> pd.DataFrame:
     """The per-shard block kernel (module-level so unit tests can
     drive it directly on synthetic block frames; see
-    Engine._topk_blocks for the plan that feeds it)."""
+    Engine._topk_blocks for the plan that feeds it). ``params`` may be
+    the 9-tuple (no fused phrases) or a 10-tuple whose last element is
+    the fused phrase/ban plan consumed by ``_phrase_prepass``."""
     (cmap_l, ngroups, n_top, lo_l, span_l, ns, gm, eg_l,
-     h_allow) = params
+     h_allow) = params[:9]
+    phr = params[9] if len(params) > 9 else None
+    if phr is not None:
+        dead_l, allow_docs, allow_ps = _phrase_prepass(
+            pdf, phr, dead_l, lo_l, span_l, ns, gm)
+        h_allow = phr["n_pg"] > 0
+        if ngroups == 0:
+            # phrase-only query: the hits ARE the allow set (every
+            # group is a phrase group); no scoring terms to decode
+            sent0 = pd.DataFrame(
+                {"doc_id": [-1], "score": [0.0],
+                 "n_hits": [int(len(allow_docs))],
+                 "n_skipped": [0], "n_lossy": [0]})
+            ddocs0, tot0 = allow_docs.astype(np.int64), allow_ps
+            if len(ddocs0) > n_top:
+                part = np.lexsort((ddocs0,
+                                   -np.round(tot0 * 1e9)))[:n_top]
+                ddocs0, tot0 = ddocs0[part], tot0[part]
+            if not len(ddocs0):
+                return sent0
+            return pd.concat([pd.DataFrame({
+                "doc_id": ddocs0, "score": tot0,
+                "n_hits": np.zeros(len(ddocs0), np.int64),
+                "n_skipped": np.zeros(len(ddocs0), np.int64),
+                "n_lossy": np.zeros(len(ddocs0), np.int64),
+            }), sent0], ignore_index=True)
     acc_docs, acc_grps, acc_scores, order = [], [], [], []
     n_skipped = 0
     n_lossy = 0
@@ -640,7 +803,7 @@ class Engine:
         q = compile_query(query_text, variant, extract_subformulae,
                           reduce_weighting)
         pplan = {"must": [], "must_not": [], "banned_tids": [],
-                 "impossible": False}
+                 "impossible": False, "extra_df_total": 0}
         if not q.clauses and not q.phrases and not q.prohibited:
             return pd.DataFrame(columns=[
                 "term_id", "grp", "boost", "idf", "avgdl", "bucket",
@@ -718,6 +881,13 @@ class Engine:
         pplan["banned_tids"] = sorted({
             int(found[(c.fld, c.term)][0]) for c in q.prohibited
             if (c.fld, c.term) in found})
+        # posting volume of the phrase/banned terms (known from the
+        # dictionary df): sizes the fused blocks-kernel shard count
+        # and its driver fast-path eligibility without any extra job
+        extra_pairs = ({(p.fld, t) for p in q.phrases for t in p.terms}
+                       | {(c.fld, c.term) for c in q.prohibited})
+        pplan["extra_df_total"] = sum(
+            int(found[pr][1]) for pr in extra_pairs if pr in found)
         processed = " ".join(
             [f"g{c.group}:{c.fld}:{c.term}^{c.boost:.3g}"
              for c in q.clauses]
@@ -903,19 +1073,26 @@ class Engine:
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
         if pplan["impossible"] or (clauses.empty and not pplan["must"]):
             return SearchResult(empty, n_groups, len(clauses), processed)
-        # phrase/prohibited positions come from the packed blocks in
-        # blocks mode (pos_bytes — the Lucene positions-file analog) so
-        # no query in blocks mode ever scans the postings row surface;
-        # pre-pos_bytes indexes and df mode use the rows
-        surface = "blocks" if (mode == "blocks"
-                               and self._blocks_pos) else "rows"
-        must_df, banned = self._phrase_frames(pplan, surface)
         n_pg = len({p["grp"] for p in pplan["must"]})
+        if mode == "blocks" and self._blocks_pos:
+            # FUSED blocks path (VERDICT r4 #2): term scoring, phrase
+            # position decode + adjacency, and MUST_NOT exclusion all
+            # run inside the one sharded kernel over the packed-block
+            # surface — no separate Python stages, no postings-row
+            # scan, and phrase-ONLY queries ride the same kernel
+            pdf, total_hits, rel, bstats = self._topk_blocks(
+                clauses, k + offset, n_groups - n_pg, n_pg, None,
+                None, partial_sink, pplan=pplan)
+            hits = pdf.iloc[offset:offset + k].reset_index(drop=True)
+            hits.insert(0, "rank",
+                        np.arange(offset + 1, offset + 1 + len(hits)))
+            return self._assemble(hits, clauses, pplan, n_groups,
+                                  processed, q, total_hits, rel,
+                                  bstats, with_fields, snippets, debug)
+        # pre-pos_bytes indexes and df mode read phrase positions from
+        # the postings row surface
+        must_df, banned = self._phrase_frames(pplan, "rows")
         if mode == "df" or clauses.empty:
-            # a phrase-ONLY query has no term clauses for the block
-            # kernel; it runs this aggregation plan in both modes, with
-            # the phrase frames sourced from the mode's surface (blocks
-            # mode: zero postings-row scans in the executed plan).
             # The aggregated scoring plan is memoized per EXACT query
             # fingerprint — full-precision clause boosts + phrase and
             # prohibited structure (the human-readable `processed`
@@ -935,7 +1112,7 @@ class Engine:
                 nfp = tuple(sorted((p["fld"], tuple(p["terms"]))
                                    for p in pplan["must_not"]))
                 dkey = ("df", cfp, pfp, nfp,
-                        tuple(pplan["banned_tids"]), n_groups, surface)
+                        tuple(pplan["banned_tids"]), n_groups)
             agg = self._plan_get(dkey) if dkey else None
             if agg is None:
                 parts = []
@@ -1022,6 +1199,15 @@ class Engine:
                 banned, partial_sink)
         hits = pdf.iloc[offset:offset + k].reset_index(drop=True)
         hits.insert(0, "rank", np.arange(offset + 1, offset + 1 + len(hits)))
+        return self._assemble(hits, clauses, pplan, n_groups, processed,
+                              q, total_hits, rel, bstats, with_fields,
+                              snippets, debug)
+
+    def _assemble(self, hits, clauses, pplan, n_groups, processed, q,
+                  total_hits, rel, bstats, with_fields, snippets,
+                  debug) -> SearchResult:
+        """Shared Q10-Q12 result assembly: display-field fetch,
+        executor-side snippets, optional explain."""
         if (with_fields or snippets) and len(hits):
             ids = [int(d) for d in hits["doc_id"]]
             cols = ["doc_id", "id", "repo", "path", "title"]
@@ -1320,18 +1506,26 @@ class Engine:
                      allow_df: DataFrame | None = None,
                      banned_df: DataFrame | None = None,
                      partial_sink: dict | None = None,
+                     pplan: dict | None = None,
                      ) -> tuple[pd.DataFrame, int, str, dict]:
         """Doc-sharded block-max top-k over the packed posting blocks.
         Returns (hits pandas frame, total_hits, total_hits_relation,
         per-call blocks stats) — stats are per-CALL values so
         concurrent searches on one Engine never cross-talk.
 
-        ``n_groups`` here counts TERM groups only; when the query also
-        has MUST phrase groups (``n_pgroups`` > 0), ``allow_df``
-        carries (doc_id, pscore) for docs matching ALL phrase groups —
-        the kernel restricts scoring to those docs and adds pscore to
-        the final totals. ``banned_df`` (MUST_NOT docs) and tombstones
-        ride the SAME co-grouped exclusion channel.
+        ``n_groups`` here counts TERM groups only. Phrases and
+        MUST_NOT terms arrive one of two ways:
+
+        * FUSED (``pplan``, pos_bytes indexes): the phrase/banned
+          terms' blocks join the same sharded scan — pos_bytes kept
+          only for phrase terms, doc_bytes alone for banned-only terms
+          — and the kernel's `_phrase_prepass` decodes positions,
+          verifies adjacency and builds the allow/dead sets in-task.
+          No extra Python stages, no allowlist aggregation job.
+        * legacy (pre-pos_bytes indexes): ``allow_df`` carries
+          (doc_id, grp, score) phrase matches from the postings rows
+          and ``banned_df`` the MUST_NOT docs; both ride the
+          co-grouped exclusion channel with the tombstones.
 
         Physical plan (the WAND-style scale path, SURVEY.md §2.4 Q8):
 
@@ -1384,23 +1578,47 @@ class Engine:
         """
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
+        # fused phrase/ban plan for the kernel pre-pass: exact term
+        # ids + driver-computed scoring constants, all snapshot-pinned
+        fused = None
+        if pplan is not None and (pplan["must"] or pplan["must_not"]
+                                  or pplan["banned_tids"]):
+            fused = {
+                "must": [(int(p["grp"]),
+                          tuple(int(t) for t in p["tids"]),
+                          float(p["idf_p"]), float(p["avgdl"]),
+                          float(p["w"]), float(p["boost"]))
+                         for p in pplan["must"]],
+                "mustnot": [tuple(int(t) for t in p["tids"])
+                            for p in pplan["must_not"]],
+                "banned_set": frozenset(
+                    int(t) for t in pplan["banned_tids"]),
+                "ptids": frozenset(
+                    int(t) for p in pplan["must"] + pplan["must_not"]
+                    for t in p["tids"]),
+                "n_pg": int(n_pgroups),
+            }
         # prepared-plan hit: re-execute the stored plan (fresh job, no
-        # plan construction). allow/banned plans are query-derived too,
-        # but their frames are rebuilt per call — keep the memo to the
-        # common no-phrase case
+        # plan construction). The fused phrase/ban structure is part of
+        # the key; legacy allow/banned frames are rebuilt per call, so
+        # those plans are not memoized
         pkey = None
         if self._cache and allow_df is None and banned_df is None:
+            ffp = None
+            if fused:
+                ffp = (tuple(fused["must"]), tuple(fused["mustnot"]),
+                       tuple(sorted(fused["banned_set"])))
             pkey = (tuple(sorted(
                 (int(r.term_id), int(r.grp), float(r.boost))
-                for r in clauses.itertuples())), topn, n_groups)
+                for r in clauses.itertuples())), topn, n_groups, ffp)
             hit = self._plan_get(pkey)
             if hit is not None:
                 if hit[-1] == "fast":
-                    bdf_m, cl_m, cmap_m, mb_m, _ = hit
+                    bdf_m, cl_m, cmap_m, mb_m, fu_m, _ = hit
                     # metadata came from the memo: meta_rows 0
                     return self._topk_blocks_local(
                         bdf_m, cl_m, cmap_m, mb_m, topn, n_groups, None,
-                        memo_hit=True)
+                        memo_hit=True, fused=fu_m)
                 plan, pparams, ptheta, pshards, kind = hit
                 if kind == "driver":
                     allpdf = kernel_core(plan.toPandas(), pparams, None)
@@ -1415,14 +1633,18 @@ class Engine:
         terms = [int(t) for t in set(clauses["term_id"])]
         buckets = [int(b) for b in set(clauses["bucket"])]
         # column-prune the scoring scan: the kernel never reads
-        # pos_bytes (positions serve the phrase surface only) and the
-        # partition column is spent after pruning — dropping them here
-        # keeps the biggest per-posting payload out of the scan, the
-        # shard shuffle, the Arrow transfer and the cached slices
-        # (drop is a no-op on pre-pos_bytes tables)
-        bdf = (self._pruned("blocks", "bucket", buckets)
-               .where(F.col("term_id").isin(terms))
-               .drop("pos_bytes", "bucket"))
+        # pos_bytes for SCORING (positions serve phrase adjacency
+        # only) and the partition column is spent after pruning —
+        # dropping them here keeps the biggest per-posting payload out
+        # of the scan, the shard shuffle, the Arrow transfer and the
+        # cached slices (drop is a no-op on pre-pos_bytes tables).
+        # Phrase terms' blocks arrive through _fused_extras with
+        # pos_bytes attached; a phrase-only query has no scoring scan
+        bdf = None
+        if terms:
+            bdf = (self._pruned("blocks", "bucket", buckets)
+                   .where(F.col("term_id").isin(terms))
+                   .drop("pos_bytes", "bucket"))
         cmap: dict[int, list[tuple[int, float]]] = {}
         for r in clauses.itertuples():
             cmap.setdefault(int(r.term_id), []).append(
@@ -1443,30 +1665,40 @@ class Engine:
         # fresh idf/avgdl are pinned for the Engine's snapshot, so the
         # adjusted bounds are constants and a repeat term costs ZERO
         # Spark jobs.
-        for c in ("idf0", "avgdl0"):      # pre-snapshot index: scale = 1
-            if c not in bdf.columns:
-                bdf = bdf.withColumn(c, F.lit(None).cast("double"))
+        if bdf is not None:
+            for c in ("idf0", "avgdl0"):  # pre-snapshot index: scale = 1
+                if c not in bdf.columns:
+                    bdf = bdf.withColumn(c, F.lit(None).cast("double"))
         tomb = self.cat.tombstones()
         # ---- small-query fast path: the dictionary df already bounds
-        # the posting volume, so when the whole query fits one shard
-        # (and no tombstone/phrase/ban frames are in play) ONE job
-        # collects the block rows — metadata reduction, theta, range
-        # filters and the kernel all run driver-side on that frame.
-        # Cold interactive searches drop from 3 sequential jobs
+        # the posting volume (scoring AND phrase/banned terms — their
+        # dfs ride pplan.extra_df_total), so when the whole query fits
+        # one shard ONE job collects the block rows — metadata
+        # reduction, theta, range filters, the fused phrase pre-pass
+        # and the kernel all run driver-side on that frame. Cold
+        # interactive searches drop from 3 sequential jobs
         # (dictionary, metadata agg, kernel) to 2.
+        extra_df = int(pplan.get("extra_df_total", 0)) if fused else 0
         df_total = (int(clauses.drop_duplicates("term_id")["df"].sum())
-                    if "df" in clauses.columns and len(clauses) else None)
-        if (df_total is not None and df_total <= _SHARD_POSTINGS
+                    if "df" in clauses.columns and len(clauses) else
+                    (0 if fused else None))
+        if (df_total is not None and df_total + extra_df
+                <= _SHARD_POSTINGS
                 and tomb is None and banned_df is None
-                and n_pgroups == 0):
-            return self._topk_blocks_local(bdf, clauses, cmap, max_boost,
-                                           topn, n_groups, pkey)
+                and (n_pgroups == 0 or fused is not None)):
+            bdf_l = bdf
+            if fused:
+                bdf_l = self._fused_union(bdf, fused, cmap)
+            return self._topk_blocks_local(bdf_l, clauses, cmap,
+                                           max_boost, topn, n_groups,
+                                           pkey, fused=fused)
         # a tombstoned/banned doc may be the block-max achiever, so the
         # floor is only a valid lower bound on a CLEAN unfiltered
         # single-term-group query; `optimize` restores pruning after
         # deletes
         need_theta = (n_groups == 1 and tomb is None
-                      and banned_df is None and n_pgroups == 0)
+                      and banned_df is None and n_pgroups == 0
+                      and fused is None)
         fresh_df = fresh_stats_df(self.spark, clauses)
         adj_ub, _adj_lb = rescaled_bounds()
         ckey = topn if need_theta else None
@@ -1500,12 +1732,19 @@ class Engine:
         mrows = [{"term_id": t, "ubm": ubm, "nb": nb, "npost": npost,
                   "blo": blo, "bhi": bhi, "lbn": lbn}
                  for t, (ubm, nb, npost, blo, bhi, lbn) in raw.items()]
-        if not mrows:
+        if not mrows and fused is None:
             return empty, 0, "eq", {
                 "skipped_blocks": 0, "lossy_blocks": 0, "theta": 0.0,
                 "n_shards": 0, "meta_rows": meta_rows}
-        lo = min(int(r["blo"]) for r in mrows)
-        hi = max(int(r["bhi"]) for r in mrows)
+        if mrows:
+            lo = min(int(r["blo"]) for r in mrows)
+            hi = max(int(r["bhi"]) for r in mrows)
+        else:
+            # phrase-only fused query: no scoring metadata — shard
+            # over the whole dense doc-id space (next_doc_id is the
+            # manifest high-water mark, maintained by build + upsert)
+            lo = 0
+            hi = max(int(self.cat.props().get("next_doc_id", 1)) - 1, 0)
         theta = 0.0
         if need_theta:
             for r in mrows:
@@ -1563,28 +1802,67 @@ class Engine:
         # shards emit local top-n + an exact-count sentinel and the
         # driver merges.
         span = max(hi - lo + 1, 1)
-        total_npost = sum(int(r["npost"]) for r in mrows)
+        total_npost = sum(int(r["npost"]) for r in mrows) + extra_df
         par = max(self.spark.sparkContext.defaultParallelism, 1)
         n_shards = max(1, min(par, -(-total_npost // _SHARD_POSTINGS)))
+        # fused: phrase/banned term blocks join the SAME sharded scan
+        # (pos_bytes only where adjacency needs it), prefiltered to the
+        # scoring doc extent when one exists — a doc outside every
+        # scoring term's range can neither satisfy the term conjunction
+        # nor matter for exclusion
+        allb = bdf
+        if fused:
+            parts = []
+            if bdf is not None:
+                d = bdf
+                overlap = sorted(set(cmap) & fused["ptids"])
+                if overlap:
+                    # these terms' blocks arrive via the extras scan
+                    # WITH positions; scanning them here too would
+                    # score their postings twice
+                    d = d.where(~F.col("term_id").isin(overlap))
+                parts.append(d.withColumn(
+                    "pos_bytes", F.lit(None).cast("binary")))
+            ext = self._fused_extras(fused, cmap,
+                                     lo if mrows else None,
+                                     hi if mrows else None)
+            if ext is not None:
+                parts.append(ext)
+            allb = parts[0]
+            for p in parts[1:]:
+                allb = allb.unionByName(p)
         # integer DIV on both sides (Catalyst + numpy) — double floor()
         # drifts at 10^12-doc scale
         s_of = lambda c: F.expr(  # noqa: E731
             f"({c} - {lo}L) * {n_shards}L div {span}L")
-        sharded = bdf.withColumn("shard", F.explode(F.sequence(
-            s_of("first_doc"),
+        sharded = allb.withColumn("shard", F.explode(F.sequence(
+            F.greatest(s_of("first_doc"), F.lit(0)),
             F.least(s_of("last_doc"), F.lit(n_shards - 1)))))
 
+        cpd = (clauses[["term_id", "idf", "avgdl"]]
+               .drop_duplicates("term_id"))
+        if fused:
+            xtids = sorted((fused["ptids"] | fused["banned_set"])
+                           - set(cmap))
+            if xtids:
+                # placeholder stats keep the broadcast join inner;
+                # phrase scoring uses pplan's idf_p/avgdl constants
+                cpd = pd.concat([cpd, pd.DataFrame(
+                    {"term_id": xtids, "idf": 0.0, "avgdl": 1.0})],
+                    ignore_index=True)
         cdf = self.spark.createDataFrame(
-            clauses[["term_id", "idf", "avgdl"]].drop_duplicates("term_id"),
-            "term_id long, idf double, avgdl double")
+            cpd, "term_id long, idf double, avgdl double")
         withmeta = sharded.join(F.broadcast(cdf), "term_id")
         # group ids need not be contiguous (phrase groups interleave):
-        # the doc<<k | grp packing must clear the MAX id, not the count
-        gmax = int(clauses["grp"].max()) + 1
+        # the doc<<k | grp packing must clear the MAX id over BOTH term
+        # and phrase groups (the fused pre-pass packs phrase grps too)
+        gvals = [int(g) for g in clauses["grp"]] + \
+            [g for g, *_ in (fused["must"] if fused else [])]
+        gmax = max(gvals, default=0) + 1
         gmult = 1 << max(gmax.bit_length(), 1)
-        has_allow = n_pgroups > 0
+        has_allow = n_pgroups > 0 and fused is None
         params = (cmap, n_groups, topn, lo, span, n_shards, gmult, eg,
-                  has_allow)
+                  has_allow, fused)
         out_schema = ("doc_id long, score double, n_hits long, "
                       "n_skipped long, n_lossy long")
 
@@ -1670,6 +1948,68 @@ class Engine:
         return self._finish_blocks(allpdf, topn, theta, n_groups,
                                    n_shards, meta_rows)
 
+    def _fused_extras(self, fused: dict, cmap: dict,
+                      lo: int | None = None, hi: int | None = None
+                      ) -> DataFrame | None:
+        """Block rows of the phrase/banned terms for the fused kernel.
+        pos_bytes is kept ONLY for phrase terms; banned-only terms read
+        doc_bytes alone (tf/dl/w/pos projected to null — those columns
+        are never scanned for them). When the scoring doc extent is
+        known the rows are prefiltered to it: a doc outside every
+        scoring term's range can't satisfy the term conjunction, and
+        excluding an unreachable doc is a no-op."""
+        nb = self.n_buckets
+        ptl = sorted(fused["ptids"])
+        btl = sorted(fused["banned_set"] - fused["ptids"] - set(cmap))
+        parts = []
+        if ptl:
+            parts.append(
+                self._pruned("blocks", "bucket",
+                             sorted({t % nb for t in ptl}))
+                .where(F.col("term_id").isin(ptl)).drop("bucket"))
+        if btl:
+            nullb = F.lit(None).cast("binary")
+            parts.append(
+                self._pruned("blocks", "bucket",
+                             sorted({t % nb for t in btl}))
+                .where(F.col("term_id").isin(btl))
+                .select("term_id", "salt", "block_ord", "n_docs",
+                        "first_doc", "last_doc", "max_score", "idf0",
+                        "avgdl0", "doc_bytes",
+                        nullb.alias("tf_bytes"),
+                        nullb.alias("dl_bytes"),
+                        nullb.alias("w_bytes"),
+                        nullb.alias("pos_bytes")))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if lo is not None:
+            out = out.where((F.col("last_doc") >= lo)
+                            & (F.col("first_doc") <= hi))
+        return out
+
+    def _fused_union(self, bdf: DataFrame | None, fused: dict,
+                     cmap: dict) -> DataFrame:
+        """Scoring scan (pos nulled, phrase-overlap terms removed) +
+        fused extras — the driver fast path's collect source."""
+        parts = []
+        if bdf is not None:
+            overlap = sorted(set(cmap) & fused["ptids"])
+            d = bdf
+            if overlap:
+                d = d.where(~F.col("term_id").isin(overlap))
+            parts.append(d.withColumn(
+                "pos_bytes", F.lit(None).cast("binary")))
+        ext = self._fused_extras(fused, cmap)
+        if ext is not None:
+            parts.append(ext)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _collect_kernel(self, local: DataFrame, partial_sink,
                         ctx: tuple) -> pd.DataFrame:
         """Collect kernel output rows. With a deadline armed
@@ -1691,21 +2031,22 @@ class Engine:
 
     def _topk_blocks_local(self, bdf: DataFrame, clauses: pd.DataFrame,
                            cmap: dict, max_boost: dict, topn: int,
-                           n_groups: int, pkey, memo_hit: bool = False
+                           n_groups: int, pkey, memo_hit: bool = False,
+                           fused: dict | None = None,
                            ) -> tuple[pd.DataFrame, int, str, dict]:
         """Driver-side mirror of the _topk_blocks pruning pipeline for
         queries whose dictionary df already bounds the posting volume
         to one shard's worth: ONE job collects the few compressed block
         rows, then metadata reduction, the theta floor, conjunctive
-        range filters and the kernel all run on the local frame.
-        Semantics are identical to the distributed path — pinned by the
-        forced-distributed comparison in
+        range filters, the fused phrase pre-pass and the kernel all run
+        on the local frame. Semantics are identical to the distributed
+        path — pinned by the forced-distributed comparison in
         test_driver_kernel_short_circuit_and_prepared_plans."""
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         pdfb = bdf.toPandas()
         if pkey is not None:
-            self._plan_put(pkey, (bdf, clauses, cmap, max_boost,
+            self._plan_put(pkey, (bdf, clauses, cmap, max_boost, fused,
                                   "fast"))
         if not len(pdfb):
             return empty, 0, "eq", {
@@ -1713,76 +2054,98 @@ class Engine:
                 "n_shards": 0, "meta_rows": 0}
         imap = {int(r.term_id): (float(r.idf), float(r.avgdl))
                 for r in clauses.drop_duplicates("term_id").itertuples()}
-        tid = pdfb["term_id"].astype("int64")
-        fidf = tid.map(lambda t: imap[t][0])
-        favg = tid.map(lambda t: imap[t][1])
-        i0 = pdfb["idf0"].astype(float).fillna(fidf)
-        a0 = pdfb["avgdl0"].astype(float).fillna(favg)
-        scale = fidf / np.maximum(i0, 1e-12)
-        ratio = favg / np.maximum(a0, 1e-12)
-        ms = pdfb["max_score"].astype(float)
-        pdfb = pdfb.assign(idf=fidf, avgdl=favg,
-                           _ub=ms * scale * np.maximum(ratio, 1.0),
-                           _lb=ms * scale * np.minimum(ratio, 1.0))
-        # per-term reduced metadata — the same (ubm, nb, npost, blo,
-        # bhi, lbn) tuple the distributed agg returns, cached alike
+        # fused extras (phrase/banned-term blocks) skip the scoring
+        # metadata/pruning — the kernel pre-pass consumes them whole
+        sc_m = (pdfb["term_id"].astype("int64").isin(list(imap))
+                if imap else pd.Series(False, index=pdfb.index))
+        ex = pdfb[~sc_m]
+        pdfb = pdfb[sc_m]
         meta: dict[int, tuple] = {}
-        for t, g in pdfb.groupby("term_id"):
-            t = int(t)
-            nb = len(g)
-            lbs = np.sort(g["_lb"].to_numpy())[::-1]
-            lbn = float(lbs[topn - 1]) if nb >= topn else None
-            meta[t] = (float(g["_ub"].max()), nb,
-                       int(g["n_docs"].sum()),
-                       int(g["first_doc"].min()),
-                       int(g["last_doc"].max()), lbn)
-        meta_rows = 0 if memo_hit else len(meta)
-        if self._cache:
-            ckey = topn if n_groups == 1 else None
-            with self._lock:
-                for t, v in meta.items():
-                    self._block_meta[(t, ckey)] = v
-        lo = min(v[3] for v in meta.values())
-        hi = max(v[4] for v in meta.values())
-        theta = 0.0
-        if n_groups == 1:
-            for t, v in meta.items():
-                if v[1] >= topn and v[5] is not None:
-                    theta = max(theta, v[5] * max_boost[t])
-        ub = {t: v[0] * max_boost[t] for t, v in meta.items()}
-        sum_ub = sum(ub.values())
-        keep = np.ones(len(pdfb), bool)
-        if theta > 0.0:
-            rest = tid.map(lambda t: sum_ub - ub[t])
-            mb = tid.map(lambda t: max_boost[t])
-            keep &= (mb * pdfb["_ub"] + rest >= theta).to_numpy()
+        theta, keep = 0.0, np.ones(len(pdfb), bool)
         eg = -1
-        if n_groups > 1:
-            glo: dict[int, int] = {}
-            ghi: dict[int, int] = {}
-            gpost: dict[int, int] = {}
-            for t, v in meta.items():
-                for g2, _ in cmap[t]:
-                    glo[g2] = min(glo.get(g2, v[3]), v[3])
-                    ghi[g2] = max(ghi.get(g2, v[4]), v[4])
-                    gpost[g2] = gpost.get(g2, 0) + v[2]
-            eg = min(gpost, key=lambda g2: (gpost[g2], g2))
-            rlo_m: dict[int, int] = {}
-            rhi_m: dict[int, int] = {}
-            for t in meta:
-                gs = {g2 for g2, _ in cmap[t]}
-                others = [g2 for g2 in glo if g2 not in gs]
-                rlo_m[t] = max((glo[g2] for g2 in others), default=lo)
-                rhi_m[t] = min((ghi[g2] for g2 in others), default=hi)
-            keep &= ((pdfb["last_doc"].astype("int64")
-                      >= tid.map(rlo_m)).to_numpy()
-                     & (pdfb["first_doc"].astype("int64")
-                        <= tid.map(rhi_m)).to_numpy())
-        pdfb = pdfb[keep].assign(shard=0)
-        span = max(hi - lo + 1, 1)
-        gmax = int(clauses["grp"].max()) + 1
+        if len(pdfb):
+            tid = pdfb["term_id"].astype("int64")
+            fidf = tid.map(lambda t: imap[t][0])
+            favg = tid.map(lambda t: imap[t][1])
+            i0 = pdfb["idf0"].astype(float).fillna(fidf)
+            a0 = pdfb["avgdl0"].astype(float).fillna(favg)
+            scale = fidf / np.maximum(i0, 1e-12)
+            ratio = favg / np.maximum(a0, 1e-12)
+            ms = pdfb["max_score"].astype(float)
+            pdfb = pdfb.assign(idf=fidf, avgdl=favg,
+                               _ub=ms * scale * np.maximum(ratio, 1.0),
+                               _lb=ms * scale * np.minimum(ratio, 1.0))
+            # per-term reduced metadata — the same (ubm, nb, npost,
+            # blo, bhi, lbn) tuple the distributed agg returns
+            for t, g in pdfb.groupby("term_id"):
+                t = int(t)
+                nb = len(g)
+                lbs = np.sort(g["_lb"].to_numpy())[::-1]
+                lbn = float(lbs[topn - 1]) if nb >= topn else None
+                meta[t] = (float(g["_ub"].max()), nb,
+                           int(g["n_docs"].sum()),
+                           int(g["first_doc"].min()),
+                           int(g["last_doc"].max()), lbn)
+            if self._cache:
+                ckey = topn if n_groups == 1 else None
+                with self._lock:
+                    for t, v in meta.items():
+                        self._block_meta[(t, ckey)] = v
+            # theta is only a valid floor on a clean single-group
+            # query — fused bans/phrases may remove the floor achiever
+            if n_groups == 1 and fused is None:
+                for t, v in meta.items():
+                    if v[1] >= topn and v[5] is not None:
+                        theta = max(theta, v[5] * max_boost[t])
+            ub = {t: v[0] * max_boost[t] for t, v in meta.items()}
+            sum_ub = sum(ub.values())
+            if theta > 0.0:
+                rest = tid.map(lambda t: sum_ub - ub[t])
+                mb = tid.map(lambda t: max_boost[t])
+                keep &= (mb * pdfb["_ub"] + rest >= theta).to_numpy()
+            if n_groups > 1:
+                glo: dict[int, int] = {}
+                ghi: dict[int, int] = {}
+                gpost: dict[int, int] = {}
+                for t, v in meta.items():
+                    for g2, _ in cmap[t]:
+                        glo[g2] = min(glo.get(g2, v[3]), v[3])
+                        ghi[g2] = max(ghi.get(g2, v[4]), v[4])
+                        gpost[g2] = gpost.get(g2, 0) + v[2]
+                eg = min(gpost, key=lambda g2: (gpost[g2], g2))
+                rlo_m: dict[int, int] = {}
+                rhi_m: dict[int, int] = {}
+                lo_s = min(v[3] for v in meta.values())
+                hi_s = max(v[4] for v in meta.values())
+                for t in meta:
+                    gs = {g2 for g2, _ in cmap[t]}
+                    others = [g2 for g2 in glo if g2 not in gs]
+                    rlo_m[t] = max((glo[g2] for g2 in others),
+                                   default=lo_s)
+                    rhi_m[t] = min((ghi[g2] for g2 in others),
+                                   default=hi_s)
+                keep &= ((pdfb["last_doc"].astype("int64")
+                          >= tid.map(rlo_m)).to_numpy()
+                         & (pdfb["first_doc"].astype("int64")
+                            <= tid.map(rhi_m)).to_numpy())
+        meta_rows = 0 if memo_hit else len(meta)
+        if meta:
+            lo = min(v[3] for v in meta.values())
+            hi = max(v[4] for v in meta.values())
+            span = max(hi - lo + 1, 1)
+        else:
+            # phrase-only: one shard covers the whole doc-id space
+            lo, span = 0, 1 << 62
+        pdfb = pdfb[keep]
+        if fused is not None and len(ex):
+            pdfb = pd.concat([pdfb, ex], ignore_index=True)
+        pdfb = pdfb.assign(shard=0)
+        gvals = [int(g) for g in clauses["grp"]] + \
+            [g for g, *_ in (fused["must"] if fused else [])]
+        gmax = max(gvals, default=0) + 1
         gmult = 1 << max(gmax.bit_length(), 1)
-        params = (cmap, n_groups, topn, lo, span, 1, gmult, eg, False)
+        params = (cmap, n_groups, topn, lo, span, 1, gmult, eg, False,
+                  fused)
         allpdf = kernel_core(pdfb, params, None)
         return self._finish_blocks(allpdf, topn, theta, n_groups, 1,
                                    meta_rows)
