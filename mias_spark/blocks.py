@@ -157,12 +157,33 @@ def _pack_frame(g: pd.DataFrame, with_positions: bool = True
         "tf_bytes": tf_bytes, "dl_bytes": dl_bytes, "w_bytes": w_bytes,
         "pos_bytes": pos_bytes,
     }, columns=_COLS)
-    if not with_positions:
-        out = out.drop(columns=["pos_bytes"])
     return out
 
 
-def _pack_iter(batches: Iterator[pd.DataFrame], with_positions: bool
+#: fields whose positions serve query-time adjacency. Math M-term
+#: positions are NEVER read at query time (phrases exist only on
+#: content/title; prohibited terms decode doc_bytes alone; variant
+#: overlap is counted at tokenize time), so pmath/cmath blocks pack
+#: pos_bytes as null — in a math-dense corpus that is the bulk of the
+#: position volume, for a column no query would ever decode.
+POSITIONAL_FIELDS = ("content", "title")
+
+
+def _pack_frame_split(g: pd.DataFrame) -> pd.DataFrame:
+    """Positions packed only for POSITIONAL_FIELDS; a term belongs to
+    exactly one field, so the split never cuts a (term, salt) group."""
+    if "field" not in g.columns:
+        return _pack_frame(g, True)
+    m = g["field"].isin(POSITIONAL_FIELDS).to_numpy()
+    if m.all():
+        return _pack_frame(g, True)
+    if not m.any():
+        return _pack_frame(g, False)
+    return pd.concat([_pack_frame(g[m], True),
+                      _pack_frame(g[~m], False)], ignore_index=True)
+
+
+def _pack_iter(batches: Iterator[pd.DataFrame], pack1
                ) -> Iterator[pd.DataFrame]:
     carry: pd.DataFrame | None = None
     for pdf in batches:
@@ -177,9 +198,9 @@ def _pack_iter(batches: Iterator[pd.DataFrame], with_positions: bool
         carry = pdf[tail]
         head = pdf[~tail]
         if len(head):
-            yield _pack_frame(head, with_positions)
+            yield pack1(head)
     if carry is not None and not carry.empty:
-        yield _pack_frame(carry, with_positions)
+        yield pack1(carry)
 
 
 def pack_sorted_partition(
@@ -191,7 +212,7 @@ def pack_sorted_partition(
     stateless and the stage fully distributed; no driver-side term dicts
     at 10^12 scale). Emits packed blocks. Arrow batches may split a
     term's run, so runs are carried across batch boundaries."""
-    yield from _pack_iter(batches, True)
+    yield from _pack_iter(batches, _pack_frame_split)
 
 
 #: bench-attribution variant (VERDICT r4 #3): identical pack minus the
@@ -204,7 +225,8 @@ BLOCKS_SCHEMA_NOPOS = BLOCKS_SCHEMA.replace(", pos_bytes binary", "")
 def pack_sorted_partition_nopos(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    yield from _pack_iter(batches, False)
+    for out in _pack_iter(batches, lambda g: _pack_frame(g, False)):
+        yield out.drop(columns=["pos_bytes"])
 
 
 def unpack_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -207,8 +207,8 @@ def _salted(posts: DataFrame) -> DataFrame:
     return (posts.withColumn("salt", F.when(
         F.col("df") > SALT_DF_THRESHOLD,
         (F.col("doc_id") / SALT_DOC_RANGE).cast("int")).otherwise(0))
-        .select("term_id", "salt", "doc_id", "tf", "dl", "wsum",
-                "idf", "avgdl", "positions"))
+        .select("term_id", "field", "salt", "doc_id", "tf", "dl",
+                "wsum", "idf", "avgdl", "positions"))
 
 
 def _dbucket():
