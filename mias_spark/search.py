@@ -983,14 +983,15 @@ class Engine:
                timeout_s: float | None = None) -> SearchResult:
         """``timeout_s``: Q9 time-limited search (the reference's 30 s
         TimeLimitingCollector, Searching.java:169-200) — cancels the
-        Spark job group at the deadline. On the distributed blocks
-        path, shard results stream back through a local iterator into
-        a partial sink as they complete, so the deadline returns the
-        hits gathered so far with the GTE relation (the reference
-        returns whatever the collector gathered; our granularity is
-        the shard). Other paths (df plan, one-shot driver kernel)
-        return empty partial results — their single job is all or
-        nothing, like one Lucene segment."""
+        Spark job group at the deadline. With a deadline armed, BOTH
+        distributed plans stream per-task results (shard kernels in
+        blocks mode, per-partition local top-n in df mode) through a
+        local iterator into a partial sink as they complete, so the
+        deadline returns the hits gathered so far with the GTE
+        relation (the reference returns whatever the collector
+        gathered; our granularity is the task). Only the one-shot
+        driver kernel remains all-or-nothing — its single collect is
+        one Lucene segment's worth of work."""
         if timeout_s is not None:
             import threading
             sc = self.spark.sparkContext
@@ -1176,23 +1177,65 @@ class Engine:
             # jobs raced for the same cores and nearly doubled latency.
             # Lucene gets the total for free inside one collector pass
             # — this is the Spark analog.)
-            from pyspark.sql import Observation
-            obs = Observation()
-            observed = agg.observe(obs, F.count(F.lit(1)).alias("n"))
-            # the ORDER key (not the score) is quantized to 1e-9 in
-            # BOTH physical plans: the df plan's float-sum order can
-            # differ from the kernel's deterministic term-sorted
-            # accumulation by one ULP, which would swap exactly-tied
-            # neighbors between plans — quantized, ties collapse onto
-            # the doc_id tiebreak identically everywhere. bround =
-            # HALF_EVEN, the same rounding mode as the kernel's
-            # np.round (F.round is HALF_UP and would disagree at
-            # exact half-quanta)
-            okey = F.bround(F.col("score") * F.lit(1e9))
-            pdf = (observed.orderBy(okey.desc(), F.asc("doc_id"))
-                   .limit(offset + k).toPandas())
-            total_hits, rel = int(obs.get["n"]), "eq"
-            bstats = None
+            if partial_sink is not None:
+                # Q9 partial results for the DF PLAN (VERDICT r4 #5):
+                # the single TakeOrderedAndProject job is all-or-
+                # nothing under a cancel, so with a deadline armed the
+                # top-k runs as per-partition local top-n rows (+ one
+                # exact-count sentinel each, the kernel's output
+                # contract) streamed through the same toLocalIterator
+                # sink — a timeout merges whatever partitions landed,
+                # every query shape included (Searching.java:169-200).
+                # np.round is HALF_EVEN like the bround below, so the
+                # partition cut is rank-identical to the one-job path.
+                nn = offset + k
+
+                def ptopk(batches):
+                    frames = [b for b in batches if len(b)]
+                    if not frames:
+                        return
+                    b = pd.concat(frames, ignore_index=True)
+                    ok = np.round(
+                        b["score"].to_numpy(np.float64) * 1e9)
+                    sel = np.lexsort(
+                        (b["doc_id"].to_numpy(), -ok))[:nn]
+                    out = b.iloc[sel][["doc_id", "score"]].copy()
+                    out["n_hits"] = 0
+                    out["n_skipped"] = 0
+                    out["n_lossy"] = 0
+                    sent = pd.DataFrame(
+                        {"doc_id": [-1], "score": [0.0],
+                         "n_hits": [int(len(b))], "n_skipped": [0],
+                         "n_lossy": [0]})
+                    yield pd.concat([out, sent], ignore_index=True)
+
+                local = agg.mapInPandas(
+                    ptopk, "doc_id long, score double, n_hits long, "
+                           "n_skipped long, n_lossy long")
+                allpdf = self._collect_kernel(
+                    local, partial_sink, (nn, 0.0, 0, 0, 0))
+                pdf, total_hits, rel, _st = self._finish_blocks(
+                    allpdf, nn, 0.0, 0, 0, 0)
+                bstats = None
+            else:
+                from pyspark.sql import Observation
+                obs = Observation()
+                observed = agg.observe(obs,
+                                       F.count(F.lit(1)).alias("n"))
+                # the ORDER key (not the score) is quantized to 1e-9
+                # in BOTH physical plans: the df plan's float-sum
+                # order can differ from the kernel's deterministic
+                # term-sorted accumulation by one ULP, which would
+                # swap exactly-tied neighbors between plans —
+                # quantized, ties collapse onto the doc_id tiebreak
+                # identically everywhere. bround = HALF_EVEN, the same
+                # rounding mode as the kernel's np.round (F.round is
+                # HALF_UP and would disagree at exact half-quanta)
+                okey = F.bround(F.col("score") * F.lit(1e9))
+                pdf = (observed.orderBy(okey.desc(), F.asc("doc_id"))
+                       .limit(offset + k).toPandas())
+                total_hits, rel = int(obs.get["n"]), "eq"
+                bstats = None
         else:
             pdf, total_hits, rel, bstats = self._topk_blocks(
                 clauses, k + offset, n_groups - n_pg, n_pg, must_df,

@@ -650,3 +650,25 @@ def test_timeout_partial_results(spark, tiny_build, monkeypatch):
     assert [int(d) for d in r.hits["doc_id"]] == [5, 9]
     assert list(r.hits["rank"]) == [1, 2]
     assert r.total_hits == 2 and r.total_hits_relation == "gte"
+
+
+def test_timeout_partial_results_df_plan(spark, tiny_build):
+    """Round-4 VERDICT #5: the df plan under an armed deadline runs
+    per-partition local top-n streamed into the partial sink — an
+    armed-but-never-firing timeout must reproduce the one-job
+    TakeOrderedAndProject result exactly (hits, order, totals), for
+    every query shape including phrases and MUST_NOT."""
+    c, cat, oidx, ix = tiny_build
+    eng = Engine(spark, ix)
+    for q in ["energy", "electron quantum", '"items total" -momentum',
+              'partition "items total"', "energy -momentum"]:
+        base = eng.search(q, k=10, mode="df", with_fields=False)
+        timed = eng.search(q, k=10, mode="df", with_fields=False,
+                           timeout_s=300)
+        assert [int(d) for d in timed.hits["doc_id"]] == \
+            [int(d) for d in base.hits["doc_id"]], q
+        import numpy as np
+        assert np.allclose(timed.hits["score"].astype(float),
+                           base.hits["score"].astype(float)), q
+        assert timed.total_hits == base.total_hits, q
+        assert timed.total_hits_relation == "eq", q
