@@ -634,8 +634,19 @@ class Engine:
     (``_refresh_if_stale``)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache: bool = False):
+                 cache: bool = False, doc_kv=None):
+        """``doc_kv``: optional duck-typed document store binding for
+        display fetches — any object with ``get_many(doc_ids:
+        list[int]) -> pandas.DataFrame`` returning (doc_id, id, repo,
+        path, title[, content, lang]) rows. At 10^12 docs the k-row
+        display fetch belongs in a point-lookup store (RocksDB /
+        Cassandra / a REST doc service), not a columnar scan; the
+        parquet dseg-pruned path stays the default. With a binding
+        set, the display fetch runs ZERO Spark jobs (snippets for the
+        k hit docs are extracted driver-side from the returned
+        content — k rows, the same budgeted extractor)."""
         self.spark = spark
+        self.doc_kv = doc_kv
         self.cat = Catalog(spark, index_dir)
         props = self.cat.props()
         self.field_stats = props["field_stats"]
@@ -1254,6 +1265,31 @@ class Engine:
         if (with_fields or snippets) and len(hits):
             ids = [int(d) for d in hits["doc_id"]]
             cols = ["doc_id", "id", "repo", "path", "title"]
+            if self.doc_kv is not None:
+                # KV-store seam: a k-row point lookup, zero Spark jobs
+                kv = self.doc_kv.get_many(ids)
+                if snippets:
+                    from mias_spec.snippets import make_snippet
+                    phrase_lists = [tuple(p.terms) for p in q.phrases
+                                    if not p.must_not]
+                    text_terms = sorted(
+                        {c.term for c in q.clauses
+                         if c.fld in ("content", "title")})
+                    mterms = {c.term for c in q.clauses
+                              if c.fld in ("pmath", "cmath")}
+                    kv = kv.assign(snippet=[
+                        make_snippet(ct, lg, text_terms, mterms,
+                                     phrase_lists)
+                        for ct, lg in zip(kv["content"], kv["lang"])])
+                    kv = kv[cols + ["snippet"]]
+                else:
+                    kv = kv[cols]
+                hits = hits.merge(kv, on="doc_id", how="left")
+                if debug and len(hits):
+                    hits["explain"] = self._explain(
+                        clauses, hits, n_groups, pplan)
+                return SearchResult(hits, n_groups, len(clauses),
+                                    processed, total_hits, rel, bstats)
             disp_df = self._display_frame(ids)
             if snippets:
                 # Q11 runs IN THE EXECUTORS: snippet extraction (XML

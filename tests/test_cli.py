@@ -1,0 +1,96 @@
+"""CLI contract smoke test (VERDICT r4 #9): the jobs/mias.py verb
+surface — the MIaS.java analog — run end-to-end as real subprocesses
+on a tiny corpus. Each verb is its own process (fresh JVM), so this
+module is the slowest per-assertion suite; it pins the ONLY surface
+not otherwise under pytest: properties parsing, verb dispatch, JSON
+output shapes and the pager's stdin protocol."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, stdin=None, timeout=240):
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "mias.py"), *args],
+        capture_output=True, text=True, input=stdin, timeout=timeout,
+        cwd=REPO, env={**os.environ, "SPARK_GRAFT_CPUS": "4"})
+
+
+def _last_json(out: str):
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith(("{", "[")):
+            return json.loads(line)
+    raise AssertionError(f"no JSON line in output:\n{out}")
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory):
+    from mias_spec.corpus import make_corpus
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "corpus.parquet")
+    spark.createDataFrame(make_corpus(60)).coalesce(1) \
+        .write.mode("overwrite").parquet(corpus)
+    conf = str(root / "mias.properties")
+    ix = str(root / "ix")
+    with open(conf, "w") as f:
+        f.write(f"INDEXDIR={ix}\nMAXRESULTS=5\nTHREADS=4\nBUCKETS=2\n")
+    return conf, corpus, ix
+
+
+def test_cli_verbs_end_to_end(cli_env):
+    conf, corpus, ix = cli_env
+
+    # -add: fresh build, prints index stats
+    r = _run(["-conf", conf, "-add", corpus])
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = _last_json(r.stdout)
+    assert stats["n_docs"] == 60 and stats["n_terms"] > 0
+
+    # -stats on the existing index
+    r = _run(["-conf", conf, "-stats"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _last_json(r.stdout)["n_docs"] == 60
+
+    # -search: JSON result with snippets; MUST_NOT flag-stripping
+    r = _run(["-conf", conf, "-search", "energy -momentum"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _last_json(r.stdout)
+    assert res["total_hits"] > 0 and len(res["hits"]) > 0
+    assert "-content:momentum" in res["processed_query"]
+    assert "snippet" in res["hits"][0]
+
+    # -search -page: pager prints hits and honors 'n' on stdin
+    r = _run(["-conf", conf, "-search", "-page", "energy"], stdin="n\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Total hits:" in r.stdout and "Path:" in r.stdout
+
+    # -mtermreport: ranked formula report as a JSON array
+    r = _run(["-conf", conf, "-mtermreport", corpus, "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _last_json(r.stdout)
+    assert isinstance(rep, list) and 0 < len(rep) <= 5
+
+    # -delete by path prefix tombstones matching docs
+    r = _run(["-conf", conf, "-delete", "src/dir1/"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    removed = _last_json(r.stdout)["removed"]
+    assert removed > 0
+    r = _run(["-conf", conf, "-stats"])
+    assert _last_json(r.stdout)["n_docs"] == 60 - removed
+
+    # -deleteindex removes the directory (no Spark session)
+    r = _run(["-conf", conf, "-deleteindex"])
+    assert r.returncode == 0 and not os.path.exists(ix)
+
+
+def test_cli_usage_on_bad_args(cli_env):
+    conf, corpus, ix = cli_env
+    r = _run([])
+    assert r.returncode == 2 and "-search" in r.stdout
