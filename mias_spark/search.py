@@ -1926,9 +1926,11 @@ class Engine:
             if xtids:
                 # placeholder stats keep the broadcast join inner;
                 # phrase scoring uses pplan's idf_p/avgdl constants
-                cpd = pd.concat([cpd, pd.DataFrame(
-                    {"term_id": xtids, "idf": 0.0, "avgdl": 1.0})],
-                    ignore_index=True)
+                xpd = pd.DataFrame(
+                    {"term_id": np.asarray(xtids, dtype=np.int64),
+                     "idf": 0.0, "avgdl": 1.0})
+                cpd = (xpd if cpd.empty else
+                       pd.concat([cpd, xpd], ignore_index=True))
         cdf = self.spark.createDataFrame(
             cpd, "term_id long, idf double, avgdl double")
         withmeta = sharded.join(F.broadcast(cdf), "term_id")

@@ -52,16 +52,34 @@ def main() -> None:
                      "adjacency verification is native (no Python)",
                      fmt(must)))
 
-    must_b, _banned_b = eng._phrase_frames(pplan2, surface="blocks")
-    sections.append(("Phrase clause, blocks mode (positions decoded "
-                     "from pos_bytes — round 4)",
-                     "the SAME join/adjacency plan fed by the packed "
-                     "blocks: a bucket+term-pruned blocks scan + one "
-                     "vectorized decode per block; the postings row "
-                     "table never appears (Lucene positions-file "
-                     "analog; ReadSchema shows doc/tf/dl/pos bytes "
-                     "only, w_bytes unread)",
-                     fmt(must_b)))
+    # the FUSED blocks-mode phrase scan (round 5): phrase/banned term
+    # blocks join the scoring kernel's own sharded scan — the kernel's
+    # _phrase_prepass decodes positions, verifies adjacency and builds
+    # the MUST_NOT exclusion in-task. This dumps the exact scan the
+    # kernel receives (built by the same _fused_union helper the
+    # engine's driver fast path collects).
+    fused2 = {
+        "must": [(int(p["grp"]), tuple(int(t) for t in p["tids"]),
+                  float(p["idf_p"]), float(p["avgdl"]),
+                  float(p["w"]), float(p["boost"]))
+                 for p in pplan2["must"]],
+        "mustnot": [tuple(int(t) for t in p["tids"])
+                    for p in pplan2["must_not"]],
+        "banned_set": frozenset(int(t) for t in pplan2["banned_tids"]),
+        "ptids": frozenset(int(t) for p in (pplan2["must"]
+                                            + pplan2["must_not"])
+                           for t in p["tids"]),
+        "n_pg": len({p["grp"] for p in pplan2["must"]}),
+    }
+    sections.append(("Phrase clause, blocks mode — FUSED kernel scan "
+                     "(round 5)",
+                     "phrase terms' packed blocks (pos_bytes kept) ride "
+                     "the scoring kernel's own bucket+term-pruned scan; "
+                     "position decode, adjacency and MUST_NOT exclusion "
+                     "happen inside the one applyInPandas — no extra "
+                     "Python stages, and the postings row table never "
+                     "appears (Lucene positions-file analog)",
+                     fmt(eng._fused_union(None, fused2, {}))))
 
     # round-3: the bounded per-term block-metadata reduction (one row
     # per term back to the driver, window rank + hash agg entirely
