@@ -365,6 +365,21 @@ def ir_engine_topk_blocks(spark, sf_dir):
 IR_ENGINE_TOPK_BLOCKS_SQL = _bm25_sql(["spark", "join", "merge"], True)
 
 
+def ir_engine_phrase(spark, sf_dir):
+    """Real Engine.search, FUSED blocks plan (round 5): the phrase
+    '"table part"' decodes positions from pos_bytes, verifies
+    adjacency and scores INSIDE the sharded block kernel
+    (`_phrase_prepass`) — the newest query path, behind the same
+    independent DuckDB gate as the term scorers. The oracle restates
+    the PhraseClause spec (positions after stopword removal, tf =
+    phrase occurrences, idf = sum of constituent idfs) directly over
+    the documents table — IR_PHRASE_SQL, unchanged."""
+    return _engine_search_topk(spark, sf_dir, '"table part"', "blocks")
+
+
+IR_ENGINE_PHRASE_SQL = IR_PHRASE_SQL
+
+
 # ------------------------------------------------------------------- dedup
 
 def dedup_exact(spark, sf_dir):
@@ -1328,6 +1343,7 @@ REGISTRY: dict[str, tuple] = {
     "ir_engine_topk": (ir_engine_topk, IR_ENGINE_TOPK_SQL),
     "ir_engine_topk_blocks": (ir_engine_topk_blocks,
                               IR_ENGINE_TOPK_BLOCKS_SQL),
+    "ir_engine_phrase": (ir_engine_phrase, IR_ENGINE_PHRASE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
