@@ -15,12 +15,12 @@ from mias_spark.search import Engine, _phrase_prepass, kernel_core
 from mias_spec import oracle as O
 
 
-def _mk(tid, doc_pos: dict[int, list[int]], dl=10):
+def _mk(tid, doc_pos: dict[int, list[int]], dl=10, salt=0):
     """One term's packed blocks from {doc: positions} (tf=len(pos))."""
     docs = np.array(sorted(doc_pos), dtype=np.int64)
     g = pd.DataFrame({
         "term_id": np.full(len(docs), tid, np.int64),
-        "salt": np.zeros(len(docs), np.int64),
+        "salt": np.full(len(docs), salt, np.int64),
         "doc_id": docs,
         "tf": np.array([len(doc_pos[d]) for d in docs], np.int64),
         "dl": np.full(len(docs), dl, np.int64),
@@ -152,3 +152,82 @@ def test_fused_kernel_empty_phrase_group():
     out = kernel_core(pdf, params, None)
     assert len(out) == 1 and int(out["doc_id"].iloc[0]) == -1
     assert int(out["n_hits"].iloc[0]) == 0
+
+
+def test_prepass_salted_multiblock_term():
+    """A skewed phrase term arrives as MULTIPLE blocks (several salt
+    groups, each spanning >BLOCK_SIZE docs, delivered out of doc
+    order like a base+delta segment mix): the prepass must stitch the
+    per-block position runs back into doc order before adjacency.
+    Every doc holds 'A B' adjacent except the probes."""
+    n = 300  # > 2 * BLOCK_SIZE(128) per salt group
+    a_lo = {d: [7] for d in range(0, n)}
+    a_hi = {d: [7] for d in range(2_000_000, 2_000_000 + n)}
+    b_lo = {d: [8] for d in range(0, n)}
+    b_hi = {d: [8] for d in range(2_000_000, 2_000_000 + n)}
+    # probes: doc 5 loses adjacency, doc 2_000_001 loses term B
+    a_lo[5] = [7]
+    b_lo[5] = [9]
+    del b_hi[2_000_001]
+    # deliver high-salt blocks FIRST (unsorted across parts)
+    pdf = pd.concat([_mk(1, a_hi, salt=1), _mk(1, a_lo, salt=0),
+                     _mk(2, b_hi, salt=1), _mk(2, b_lo, salt=0)],
+                    ignore_index=True)
+    phr = {
+        "must": [(0, (1, 2), 1.0, 10.0, 1.0, 1.0)],
+        "mustnot": [], "banned_set": frozenset(),
+        "ptids": frozenset({1, 2}), "n_pg": 1,
+    }
+    _d, allow, _s = _phrase_prepass(pdf, phr, None, 0, 3_000_000, 1, 4)
+    exp = sorted(set(range(0, n)) - {5}
+                 | (set(range(2_000_000, 2_000_000 + n))
+                    - {2_000_001}))
+    assert allow.tolist() == exp
+
+
+def test_phrase_after_upsert_rank_identity(spark, tmp_path):
+    """Phrase positions spread across base + delta segments after an
+    upsert (replaced docs tombstoned, new docs in fresh pos_bytes
+    blocks): the fused blocks kernel must stay rank-identical to the
+    df plan's postings-row surface, and the replaced doc's OLD
+    positions must not resurrect it."""
+    from mias_spark.build import build_index
+    from mias_spark.ops import upsert
+    from mias_spec import corpus
+
+    c = corpus.make_corpus(80)
+    ix = str(tmp_path / "ixphup")
+    build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+    eng0 = Engine(spark, ix)
+    before = eng0.search('"items total"', k=50, mode="blocks",
+                         with_fields=True)
+    assert len(before.hits), "fixture should match the phrase"
+    # replace the top phrase hit with content that BREAKS the phrase
+    # (both words present, never adjacent), and add two new docs with
+    # strong phrase matches that must outrank everything
+    top_path = before.hits["path"].iloc[0]
+    changed = c[c["path"] == top_path].copy()
+    changed["content"] = ["<html><body><p>items alpha total items "
+                          "beta total</p></body></html>"]
+    extra = corpus.make_corpus(82).iloc[80:82].copy()
+    extra["content"] = [
+        "<html><body><p>items total items total items total"
+        "</p></body></html>",
+        "<html><body><p>items total items total</p></body></html>"]
+    delta = pd.concat([changed, extra], ignore_index=True)
+    upsert(spark, ix, spark.createDataFrame(delta))
+
+    eng = Engine(spark, ix)
+    got_b = eng.search('"items total"', k=50, mode="blocks",
+                       with_fields=True)
+    got_d = eng.search('"items total"', k=50, mode="df",
+                       with_fields=True)
+    assert [int(x) for x in got_b.hits["doc_id"]] == \
+        [int(x) for x in got_d.hits["doc_id"]]
+    assert np.allclose(got_b.hits["score"].astype(float),
+                       got_d.hits["score"].astype(float), atol=1e-9)
+    assert got_b.total_hits == got_d.total_hits
+    # the replaced doc no longer matches; the new docs lead
+    assert top_path not in set(got_b.hits["path"])
+    new_paths = set(extra["path"])
+    assert set(got_b.hits["path"].iloc[:2]) == new_paths
