@@ -145,8 +145,13 @@ def _phrase_prepass(pdf: pd.DataFrame, phr: dict, dead_l,
 
     def match(tids):
         """(docs, ptf, dl) of shard docs where the terms occur at
-        consecutive positions — the same chained array-intersect the
-        df plan runs, on in-kernel decoded runs."""
+        consecutive positions — the same chained position-intersect
+        the df plan runs, fully vectorized: docs compact to ranks in
+        the candidate set and (rank, position) packs into one int64
+        key per occurrence, so each chain step is a single sorted
+        searchsorted intersect over the whole shard (no per-doc
+        Python loop — a phrase matching 10^5 docs in a shard costs
+        the same few numpy passes as one matching 10)."""
         es = []
         for t in tids:
             e = cat.get(int(t))
@@ -161,24 +166,39 @@ def _phrase_prepass(pdf: pd.DataFrame, phr: dict, dead_l,
             ix = np.searchsorted(d, cand)
             ix[ix == len(d)] = 0
             cand = cand[d[ix] == cand]
-        kdocs, kptf, kdl = [], [], []
-        d0, tf0, dl0, fl0, st0 = es[0]
-        for doc in cand:
-            i0 = int(np.searchsorted(d0, doc))
-            P = fl0[st0[i0]:st0[i0] + tf0[i0]]
-            for e in es[1:]:
-                i = int(np.searchsorted(e[0], doc))
-                P = np.intersect1d(P + 1, e[3][e[4][i]:e[4][i] + e[1][i]])
-                if not len(P):
-                    break
-            if len(P):
-                kdocs.append(doc)
-                kptf.append(len(P))
-                kdl.append(dl0[i0])
-        if not kdocs:
+        if not len(cand):
             return _E
-        return (np.array(kdocs, np.int64), np.array(kptf, np.int64),
-                np.array(kdl, np.int64))
+        # content/title analyzer positions are strictly increasing
+        # within a doc, so (doc-rank, pos) keys are strictly
+        # increasing across each term's flat run — searchsorted
+        # membership is exact. KM clears the +1 shifts of the chain.
+        km = max(int(e[3].max()) for e in es) + len(es) + 2
+
+        def keys(e):
+            docs, lens, _dls, flat, _starts = e
+            sel = np.searchsorted(cand, docs)
+            sel[sel == len(cand)] = 0
+            dm = cand[sel] == docs
+            rep = np.repeat(dm, lens)
+            rk = np.repeat(sel, lens)[rep]
+            return rk * km + flat[rep]
+
+        P = keys(es[0])
+        for e in es[1:]:
+            K = keys(e)
+            if not len(P) or not len(K):
+                return _E
+            P = P + 1
+            ix = np.searchsorted(K, P)
+            ix[ix == len(K)] = 0
+            P = P[K[ix] == P]
+        if not len(P):
+            return _E
+        urk, kptf = np.unique(P // km, return_counts=True)
+        kdocs = cand[urk]
+        d0, _tf0, dl0, _fl0, _st0 = es[0]
+        return (kdocs, kptf.astype(np.int64),
+                dl0[np.searchsorted(d0, kdocs)])
 
     for tids in phr["mustnot"]:
         d, _ptf, _dl = match(tids)
