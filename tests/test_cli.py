@@ -94,3 +94,35 @@ def test_cli_usage_on_bad_args(cli_env):
     conf, corpus, ix = cli_env
     r = _run([])
     assert r.returncode == 2 and "-search" in r.stdout
+
+
+def test_spark_submit_pyfiles_packaging(tmp_path):
+    """The north-rule launch shape: `spark-submit --py-files mias.zip`
+    with the entry script OUTSIDE the repo, so the zip alone must ship
+    mias_spark + mias_spec to the driver and executors."""
+    import shutil
+    import zipfile
+
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
+    zpath = str(tmp_path / "mias.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for pkg in ("mias_spark", "mias_spec"):
+            for root, _dirs, files in os.walk(os.path.join(REPO, pkg)):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, REPO))
+    entry = str(tmp_path / "bi_entry.py")
+    shutil.copy(os.path.join(REPO, "jobs", "build_index.py"), entry)
+    out = str(tmp_path / "ix_submit")
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", zpath,
+         entry, "--rows", "60", "--out", out],
+        capture_output=True, text=True, timeout=400, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = _last_json(r.stdout)
+    assert stats["n_docs"] == 60 and stats["n_postings"] > 0
+    assert os.path.exists(os.path.join(out, "manifest.json"))
