@@ -420,7 +420,13 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     # delta posting + block segments (new docs only — the appended block
     # segments carry CURRENT idf0; old segments rescale at query time)
     n_buckets = cat.props()["n_buckets"]
-    posts = _posting_rows(spark, cat, delta_toks, n_buckets)
+    # stage the delta posting rows ONCE: the lineage behind them (delta
+    # tokens joined to the MERGED dictionary view — an index-sized
+    # read, not a delta-sized one) would otherwise execute twice, once
+    # for the postings append and again for the block pack
+    cat.write(_posting_rows(spark, cat, delta_toks, n_buckets),
+              "_staging_delta_posts")
+    posts = cat.read("_staging_delta_posts")
     n_out = max(n_buckets, spark.sparkContext.defaultParallelism)
     sorted_posts = (
         posts.repartitionByRange(n_out, "bucket", "term_id", "doc_id")
@@ -446,7 +452,8 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     # reclaim the staging segments (delta corpus content included —
     # leaving them doubles the delta's footprint until the next op)
     for t in ("_staging_replaced", "_staging_delta_store",
-              "_staging_delta_toks", "_staging_dead_toks"):
+              "_staging_delta_toks", "_staging_dead_toks",
+              "_staging_delta_posts"):
         cat.drop(t)
     maybe_compact(spark, index_dir)
     return {"added": n_assigned, "replaced": n_replaced}
