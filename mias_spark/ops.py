@@ -296,16 +296,51 @@ def rebuild_stats(spark: SparkSession, cat: Catalog) -> None:
     cat.commit_table("dictionary", rows=n_terms)
 
 
+#: dictionary size above which delta callers prune the merge agg to
+#: their own terms (two fixed extra jobs vs an O(all terms) shuffle)
+_DICT_PRUNE_MIN_TERMS = 100_000
+
+
 def _posting_rows(spark: SparkSession, cat: Catalog, toks: DataFrame,
-                  n_buckets: int) -> DataFrame:
+                  n_buckets: int,
+                  prune_dictionary: bool = False) -> DataFrame:
     """Token rows -> bucketed posting rows with inlined stats (the same
-    shape build_index writes)."""
+    shape build_index writes).
+
+    ``prune_dictionary`` (delta callers): the merged-dictionary read is
+    restricted to the token frame's own terms — dbucket partition
+    pruning plus a broadcast semi-join BEFORE the segment-merge agg
+    (all of one term's signed-df rows share its dbucket, so the pruned
+    sum is the full sum). A micro-batch upsert then pays O(delta
+    terms) for its dictionary join, not an index-sized scan+agg —
+    at 10^9 dictionary terms that difference IS the per-batch cost.
+    Full-index callers (rebuild) keep the plain read."""
     fs = cat.props()["field_stats"]
     stats_df = spark.createDataFrame(
         [(f, int(v["n_docs"]), float(v["avgdl"])) for f, v in fs.items()],
         "field string, n_docs long, avgdl double")
+    dic_rows = cat.read("dictionary")
+    # the pruned plan costs two fixed extra jobs (dbucket collect +
+    # broadcast semi-join); below ~10^5 dictionary terms the plain
+    # merge agg is cheaper than that overhead, above it the agg's
+    # O(all terms) shuffle dominates — gate on the term high-water
+    small = (int(cat.props().get("next_term_id", 0))
+             < _DICT_PRUNE_MIN_TERMS)
+    if prune_dictionary and not small and "dbucket" in dic_rows.columns:
+        from mias_spark.build import _dbucket
+        dterms = (toks.select("field", "term").distinct()
+                  .withColumn("dbucket", _dbucket()))
+        bks = [int(r[0]) for r in
+               dterms.select("dbucket").distinct().collect()]
+        merged = (dic_rows.where(F.col("dbucket").isin(bks))
+                  .join(F.broadcast(dterms.drop("dbucket")),
+                        ["field", "term"], "leftsemi")
+                  .groupBy("field", "term", "term_id")
+                  .agg(F.sum("df").alias("df")))
+    else:
+        merged = cat.read_dictionary().drop("dbucket")
     return (
-        toks.join(cat.read_dictionary().drop("dbucket"), ["field", "term"])
+        toks.join(merged, ["field", "term"])
         .join(F.broadcast(stats_df), "field")
         .withColumn("idf", F.log(
             F.lit(1.0)
@@ -424,7 +459,8 @@ def upsert(spark: SparkSession, index_dir: str, new_corpus: DataFrame) -> dict:
     # tokens joined to the MERGED dictionary view — an index-sized
     # read, not a delta-sized one) would otherwise execute twice, once
     # for the postings append and again for the block pack
-    cat.write(_posting_rows(spark, cat, delta_toks, n_buckets),
+    cat.write(_posting_rows(spark, cat, delta_toks, n_buckets,
+                            prune_dictionary=True),
               "_staging_delta_posts")
     posts = cat.read("_staging_delta_posts")
     n_out = max(n_buckets, spark.sparkContext.defaultParallelism)

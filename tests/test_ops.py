@@ -600,3 +600,36 @@ def test_staging_reclaimed_and_overwrite_mode_restored(spark, tmp_path):
     # the chunked blocks build + compaction both use dynamic partition
     # overwrite internally; the session conf must come back unchanged
     assert spark.conf.get(key) == "static"
+
+
+def test_upsert_pruned_dictionary_join(spark, tmp_path, monkeypatch):
+    """At scale, the delta posting-row build prunes the dictionary
+    merge to the delta's own terms (dbucket partitions + broadcast
+    semi-join BEFORE the segment-merge agg). Force the size gate to 0
+    so the pruned plan executes on a toy index, and pin that the
+    upserted index answers identically to the plain-path twin."""
+    import mias_spark.ops as OPS
+    from mias_spec.corpus import make_corpus
+
+    c = make_corpus(50)
+    changed = c.iloc[[2]].copy()
+    changed["content"] = ["<html><body><p>energy pruned dictionary "
+                          "joins</p></body></html>"]
+    extra = make_corpus(52).iloc[50:52]
+    delta = pd.concat([changed, extra], ignore_index=True)
+
+    hits = {}
+    for tag, thresh in (("pruned", 0), ("plain", 10**12)):
+        ix = str(tmp_path / f"ix_{tag}")
+        build_index(spark, spark.createDataFrame(c), ix, n_buckets=2)
+        monkeypatch.setattr(OPS, "_DICT_PRUNE_MIN_TERMS", thresh)
+        upsert(spark, ix, spark.createDataFrame(delta))
+        eng = Engine(spark, ix)
+        r = eng.search("energy", k=20, with_fields=True)
+        hits[tag] = r.hits[["path", "score"]].reset_index(drop=True)
+        # posting parity: both paths emit the same number of rows
+        hits[tag + "_n"] = eng.cat.read("postings").count()
+    assert hits["pruned_n"] == hits["plain_n"]
+    assert list(hits["pruned"]["path"]) == list(hits["plain"]["path"])
+    assert np.allclose(hits["pruned"]["score"].astype(float),
+                       hits["plain"]["score"].astype(float), atol=1e-9)
