@@ -85,6 +85,18 @@ def test_cli_verbs_end_to_end(cli_env):
     r = _run(["-conf", conf, "-stats"])
     assert _last_json(r.stdout)["n_docs"] == 60 - removed
 
+    # -optimize purges the tombstones back to a clean base and the
+    # stats (live doc count) survive the compaction
+    r = _run(["-conf", conf, "-optimize"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(["-conf", conf, "-stats"])
+    assert _last_json(r.stdout)["n_docs"] == 60 - removed
+
+    # -overwrite drops the index and rebuilds it from scratch
+    r = _run(["-conf", conf, "-overwrite", corpus])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _last_json(r.stdout)["n_docs"] == 60
+
     # -deleteindex removes the directory (no Spark session)
     r = _run(["-conf", conf, "-deleteindex"])
     assert r.returncode == 0 and not os.path.exists(ix)
