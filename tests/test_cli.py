@@ -97,6 +97,13 @@ def test_cli_verbs_end_to_end(cli_env):
     assert r.returncode == 0, r.stderr[-2000:]
     assert _last_json(r.stdout)["n_docs"] == 60
 
+    # -indocprocess writes the annotated-docs sink (S10)
+    out_p = os.path.join(os.path.dirname(corpus), "annotated.parquet")
+    r = _run(["-conf", conf, "-indocprocess", corpus, out_p])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _last_json(r.stdout)["annotated_to"] == out_p
+    assert os.path.isdir(out_p)
+
     # -deleteindex removes the directory (no Spark session)
     r = _run(["-conf", conf, "-deleteindex"])
     assert r.returncode == 0 and not os.path.exists(ix)
