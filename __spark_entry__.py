@@ -16,9 +16,10 @@ columns (metadata parse, Arrow feature extraction, frame sampling) and
 relational coverage (TPC-H q1/q3ish, windowed event rollups).
 
 The engine product path itself is oracle-gated end-to-end
-(ir_engine_topk / ir_engine_topk_blocks run a real build_index +
-Engine.search per physical plan) and so is the Structured Streaming
-MERGE ingest (stream_ingest). Non-SQL-expressible entries (math M-term
+(ir_engine_topk / ir_engine_topk_blocks / ir_engine_phrase run a real
+build_index + Engine.search per physical plan, the fused phrase
+kernel included) and so is the Structured Streaming MERGE ingest
+(stream_ingest). Non-SQL-expressible entries (math M-term
 pipelines over the synthesized MathML corpus — custom Arrow UDF
 pipelines) have no oracle_sql and get the driver's rows-only check;
 their real gate is tests/ (rank identity vs the pandas oracle).
