@@ -85,7 +85,11 @@ def test_cli_verbs_end_to_end(cli_env):
     r = _run(["-conf", conf, "-stats"])
     assert _last_json(r.stdout)["n_docs"] == 60 - removed
 
-    # -optimize purges the tombstones back to a clean base and the
+    # -compact: bounded merge-policy steps until clean (S8)
+    r = _run(["-conf", conf, "-compact"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # -optimize purges any remainder back to a clean base and the
     # stats (live doc count) survive the compaction
     r = _run(["-conf", conf, "-optimize"])
     assert r.returncode == 0, r.stderr[-2000:]
